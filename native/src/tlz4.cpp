@@ -1,0 +1,730 @@
+/* tlz4.cpp — native host runtime: LZ4 block codec + streaming frame layer.
+ *
+ * Clean-room implementation against the framework's behavioral spec
+ * (smallz4_tpu/oracle.py docstring); golden-tested bit-exact against both
+ * the oracle and the reference binaries.
+ *
+ * Matcher design: a single same-hash chain over a 64 Ki ring of *absolute*
+ * positions, with 4-byte verification at walk time.  This is semantically
+ * identical to the reference's two-level chains (smallz4.h:515-529): hash
+ * collisions only add walk steps, never change outcomes (candidate-set
+ * theorem, SURVEY.md).  Absolute positions + window checks make ring-slot
+ * staleness impossible for any block size.
+ */
+#include "../include/tlz4.h"
+
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <memory>
+
+namespace {
+
+constexpr int64_t kMinMatch = 4;
+constexpr int64_t kBlockEndNoMatch = 12;
+constexpr int64_t kBlockEndLiterals = 5;
+constexpr int64_t kMaxDistance = 65535;
+constexpr int64_t kMaxSameLetter = 19 + 255 * 256;
+constexpr int64_t kMaxBlock = 4 * 1024 * 1024;
+constexpr int64_t kMaxBlockLegacy = 8 * 1024 * 1024;
+constexpr int kHashBits = 20;
+constexpr uint32_t kHashMul = 48271;  /* LCG multiplier (smallz4.h:164-169) */
+constexpr int kGreedyLevels = 3;      /* smallz4.h:77 */
+constexpr int kLazyLevels = 6;        /* smallz4.h:79 */
+
+inline uint32_t load32(const uint8_t *p) { uint32_t v; std::memcpy(&v, p, 4); return v; }
+inline uint64_t load64(const uint8_t *p) { uint64_t v; std::memcpy(&v, p, 8); return v; }
+inline void store32(uint8_t *p, uint32_t v) { std::memcpy(p, &v, 4); }
+
+inline uint32_t hash_gram(uint32_t g) {
+  return (g * kHashMul) >> (32 - kHashBits);
+}
+
+inline int64_t max_chain_of_level(int level) {
+  return level == 9 ? kMaxDistance : level;
+}
+
+/* common-prefix length of a vs b, capped; little-endian ctz trick */
+inline int64_t lcp(const uint8_t *a, const uint8_t *b, int64_t cap) {
+  int64_t i = 0;
+  while (i + 8 <= cap) {
+    uint64_t x = load64(a + i) ^ load64(b + i);
+    if (x) return i + (__builtin_ctzll(x) >> 3);
+    i += 8;
+  }
+  while (i < cap && a[i] == b[i]) i++;
+  return i;
+}
+
+/* ------------------------------------------------------------------ */
+/* match finder                                                        */
+/* ------------------------------------------------------------------ */
+
+struct MatchTables {
+  std::vector<int64_t> head;  /* (1<<20) hash -> last inserted abs position */
+  std::vector<int64_t> link;  /* 64 Ki ring: previous same-hash abs position */
+
+  MatchTables() : head(size_t(1) << kHashBits, -1), link(kMaxDistance + 1, -1) {}
+  void reset() {
+    std::fill(head.begin(), head.end(), int64_t(-1));
+    std::fill(link.begin(), link.end(), int64_t(-1));
+  }
+};
+
+/* Table insert for abs position p; returns the nearest prior occurrence of
+ * p's gram within the window (>= min_pos), or -1 when the gate fails.
+ * A re-insertion (block-boundary lookback) cuts p's chain link — the
+ * reference's stored-distance-0 anomaly (smallz4.h:667,676,720). */
+inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
+                               int64_t buf_zero, int64_t min_pos,
+                               int64_t p, uint32_t gram) {
+  uint32_t h = hash_gram(gram);
+  int64_t q = t.head[h];
+  t.head[h] = p;
+  if (q == p) {  /* boundary re-insert */
+    t.link[p & kMaxDistance] = -1;
+    return -1;
+  }
+  bool in_window = q >= 0 && p - q <= kMaxDistance && q >= min_pos;
+  t.link[p & kMaxDistance] = in_window ? q : -1;
+  if (!in_window) return -1;
+  /* hop same-hash entries until the gram matches exactly */
+  while (load32(buf + (q - buf_zero)) != gram) {
+    q = t.link[q & kMaxDistance];
+    if (q < 0 || p - q > kMaxDistance || q < min_pos) return -1;
+  }
+  return q;
+}
+
+/* findLongestMatch parity (smallz4.h:173-255): walk same-gram candidates
+ * nearest-first; a candidate improves iff its common prefix extends the
+ * current best by >= 1; improvements consume the level's step budget. */
+inline void find_longest(const MatchTables &t, const uint8_t *buf,
+                         int64_t buf_zero, int64_t min_pos, int64_t p,
+                         int64_t q0, int64_t cap, int64_t max_chain,
+                         int32_t *out_len, int32_t *out_dist) {
+  const uint8_t *cur = buf + (p - buf_zero);
+  const uint32_t gram = load32(cur);
+  int64_t best = 1, best_dist = 0, steps = max_chain;
+  int64_t q = q0;
+  while (q >= 0) {
+    if (best + 1 > cap) break;
+    const uint8_t *cand = buf + (q - buf_zero);
+    if (cand[best] == cur[best]) {  /* cheap reject of non-improvers */
+      int64_t len = lcp(cur, cand, cap);
+      if (len >= best + 1) {
+        best = len;
+        best_dist = p - q;
+        if (--steps == 0) break;
+      }
+    }
+    /* next same-gram candidate along the same-hash chain */
+    do {
+      q = t.link[q & kMaxDistance];
+      if (q < 0 || p - q > kMaxDistance || q < min_pos) { q = -1; break; }
+    } while (load32(buf + (q - buf_zero)) != gram);
+  }
+  *out_len = int32_t(best);
+  *out_dist = int32_t(best_dist);
+}
+
+/* Per-block scan (smallz4.h:603-747): byte-run shortcut, table inserts,
+ * candidate gate, greedy/lazy skip bookkeeping, trailing literals. */
+void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
+                 int64_t min_pos, int64_t base, int64_t bs, int level,
+                 int64_t lookback, int32_t *lens, int32_t *dists) {
+  const int64_t max_chain = max_chain_of_level(level);
+  const bool is_greedy = max_chain <= kGreedyLevels;
+  const bool is_lazy = !is_greedy && max_chain <= kLazyLevels;
+  const int64_t match_limit = base + bs - kBlockEndLiterals;
+  std::memset(lens, 0, sizeof(int32_t) * size_t(bs));
+  std::memset(dists, 0, sizeof(int32_t) * size_t(bs));
+
+  int64_t skip = 0;
+  bool lazy_eval = false;
+  int64_t i = -lookback;
+  for (; i + kBlockEndNoMatch <= bs; i++) {
+    const int64_t p = base + i;
+    const uint8_t *pp = buf + (p - buf_zero);
+    if (i > 0 && pp[0] == pp[-1]) {  /* byte-run shortcut: skips the insert */
+      int32_t plen = lens[i - 1];
+      if (dists[i - 1] == 1 && plen > kMaxSameLetter) {
+        lens[i] = plen - 1;
+        dists[i] = 1;
+        continue;
+      }
+    }
+    int64_t q0 = insert_and_gate(t, buf, buf_zero, min_pos, p, load32(pp));
+    if (q0 < 0) continue;  /* gate: no skip bookkeeping without a candidate */
+    if (i < 0) continue;   /* lookback seeding only updates tables */
+    if (skip > 0) {
+      skip--;
+      if (!lazy_eval) continue;
+      lazy_eval = false;
+    }
+    find_longest(t, buf, buf_zero, min_pos, p, q0, match_limit - p, max_chain,
+                 &lens[i], &dists[i]);
+    if ((is_lazy || is_greedy) && lens[i] != 1) {
+      lazy_eval = skip == 0;
+      skip = lens[i];
+    }
+  }
+  for (; i < bs; i++) {  /* trailing positions are always literals */
+    if (i >= 0) { lens[i] = 1; dists[i] = 0; }
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* optimal parse DP (smallz4.h:376-472)                                */
+/* ------------------------------------------------------------------ */
+
+void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
+  std::vector<uint32_t> cost(size_t(n) + 1, 0);
+  int64_t num_lit = kBlockEndLiterals;
+  for (int64_t i = n - 1 - kBlockEndLiterals; i >= 0; i--) {
+    num_lit++;
+    int64_t best_len = 1;
+    uint32_t min_cost = cost[i + 1] + 1;
+    if (num_lit == 15 ||
+        (num_lit >= 15 + 255 && (num_lit - 15) % 255 == 0))
+      min_cost++;  /* this literal starts another length-extension byte */
+    const int64_t L = lens[i];
+    if (L >= kMaxSameLetter && dists[i] == 1) {
+      /* long distance-1 runs: take the full match without scanning */
+      best_len = L;
+      min_cost = cost[i + L] + 4 + uint32_t((L - 19) / 255);
+    } else if (L >= kMinMatch) {
+      uint32_t extra = 3;       /* token + offset */
+      int64_t next_increase = 18;
+      for (int64_t len = kMinMatch; len <= L; len++) {
+        uint32_t c = cost[i + len] + extra;
+        if (c <= min_cost) {  /* '<=': prefer matches, prefer longer */
+          min_cost = c;
+          best_len = len;
+        }
+        if (len == next_increase) {
+          extra++;
+          next_increase += 255;
+        }
+      }
+    }
+    cost[i] = min_cost;
+    lens[i] = int32_t(best_len);
+    if (best_len != 1) num_lit = 0;
+  }
+}
+
+/* ------------------------------------------------------------------ */
+/* sequence emitter (smallz4.h:259-371)                                */
+/* ------------------------------------------------------------------ */
+
+int64_t emit_block(const uint8_t *block, int64_t bs, const int32_t *lens,
+                   const int32_t *dists, uint8_t *out, int64_t cap) {
+  int64_t op = 0, lit_from = 0, num_lit = 0;
+  auto put = [&](uint8_t b) -> bool {
+    if (op >= cap) return false;
+    out[op++] = b;
+    return true;
+  };
+  auto put_ext = [&](int64_t v) -> bool {  /* 255-chained length bytes */
+    while (v >= 255) {
+      if (!put(255)) return false;
+      v -= 255;
+    }
+    return put(uint8_t(v));
+  };
+  for (int64_t off = 0; off < bs;) {
+    int64_t mlen = lens[off];
+    bool last_token = false;
+    if (mlen <= 1) {
+      if (num_lit == 0) lit_from = off;
+      num_lit++;
+      off++;
+      if (off < bs) continue;
+      last_token = true;
+    } else {
+      off += mlen;
+    }
+    int64_t ml_code = last_token ? 0 : mlen - kMinMatch;
+    uint8_t token = uint8_t(ml_code < 15 ? ml_code : 15);
+    if (num_lit < 15) {
+      if (!put(token | uint8_t(num_lit << 4))) return TLZ4_E_CAP;
+    } else {
+      if (!put(token | 0xF0) || !put_ext(num_lit - 15)) return TLZ4_E_CAP;
+    }
+    if (num_lit > 0) {
+      if (op + num_lit > cap) return TLZ4_E_CAP;
+      std::memcpy(out + op, block + lit_from, size_t(num_lit));
+      op += num_lit;
+      if (last_token) break;
+      num_lit = 0;
+    }
+    int32_t d = dists[off - mlen];
+    if (!put(uint8_t(d & 0xFF)) || !put(uint8_t(d >> 8))) return TLZ4_E_CAP;
+    if (ml_code >= 15 && !put_ext(ml_code - 15)) return TLZ4_E_CAP;
+  }
+  return op;
+}
+
+/* ------------------------------------------------------------------ */
+/* block decode (smallz4cat.c:207-343 semantics, contiguous-output)    */
+/* ------------------------------------------------------------------ */
+
+int64_t decode_block(const uint8_t *payload, int64_t n, const uint8_t *hist,
+                     int64_t hist_n, uint8_t *out, int64_t cap) {
+  int64_t ip = 0, op = 0;
+  while (ip < n) {
+    const uint8_t token = payload[ip++];
+    int64_t num_lit = token >> 4;
+    if (num_lit == 15) {
+      uint8_t c;
+      do {
+        if (ip >= n) return TLZ4_E_DATA;
+        c = payload[ip++];
+        num_lit += c;
+      } while (c == 255);
+    }
+    if (ip + num_lit > n) return TLZ4_E_DATA;
+    if (op + num_lit > cap) return TLZ4_E_CAP;
+    std::memcpy(out + op, payload + ip, size_t(num_lit));
+    ip += num_lit;
+    op += num_lit;
+    if (ip == n) break;  /* final literals-only token */
+    if (ip + 2 > n) return TLZ4_E_DATA;
+    const int64_t delta = payload[ip] | (int64_t(payload[ip + 1]) << 8);
+    ip += 2;
+    if (delta == 0) return TLZ4_E_OFFSET;
+    int64_t mlen = 4 + (token & 0x0F);
+    if (mlen == 19) {
+      uint8_t c;
+      do {
+        if (ip >= n) return TLZ4_E_DATA;
+        c = payload[ip++];
+        mlen += c;
+      } while (c == 255);
+    }
+    if (op + mlen > cap) return TLZ4_E_CAP;
+    int64_t ref = op - delta;
+    if (ref < 0) {  /* reach into history / dictionary */
+      int64_t hpos = hist_n + ref;
+      if (hpos < 0) return TLZ4_E_OFFSET;
+      int64_t take = std::min(mlen, -ref);
+      std::memcpy(out + op, hist + hpos, size_t(take));
+      op += take;
+      mlen -= take;
+      ref += take;
+    }
+    while (mlen > 0) {  /* overlap => chunked doubling copy (RLE) */
+      int64_t take = std::min(mlen, op - ref);
+      std::memcpy(out + op, out + ref, size_t(take));
+      op += take;
+      mlen -= take;
+      ref += take;
+    }
+  }
+  return op;
+}
+
+constexpr uint8_t kMagicModern[4] = {0x04, 0x22, 0x4D, 0x18};
+constexpr uint8_t kMagicLegacy[4] = {0x02, 0x21, 0x4C, 0x18};
+/* FLG 0x40 (v1, dependent blocks, no checksums) + BD 0x70 (4 MB) + the
+ * precomputed xxhash header byte (smallz4.h:486-495) */
+constexpr uint8_t kModernHeader[7] = {0x04, 0x22, 0x4D, 0x18, 0x40, 0x70, 0xDF};
+
+}  // namespace
+
+/* ================================================================== */
+/* streaming encoder                                                   */
+/* ================================================================== */
+
+struct tlz4_enc {
+  int level = 9;
+  bool legacy = false;
+  int64_t block_size = kMaxBlock;
+  int64_t dict_len = 0;
+
+  std::vector<uint8_t> buf;  /* virtual-stream window: [buf_zero, ...) */
+  int64_t buf_zero = 0;      /* abs position of buf[0] */
+  int64_t appended = 0;      /* abs position after last appended byte */
+  int64_t next_block = 0;    /* abs position of the next block start */
+  int64_t data_zero = 0;     /* reference dataZero (lookback control) */
+  bool header_sent = false;
+  bool first_block = true;
+  bool finished = false;
+
+  MatchTables tables;
+  std::vector<int32_t> lens, dists;
+};
+
+tlz4_enc *tlz4_enc_new(int level, int legacy, const uint8_t *dict,
+                       int64_t dict_n, int64_t block_size) {
+  if (level < 0 || level > 9) return nullptr;
+  if (legacy && (dict_n > 0 || level == 0)) return nullptr;
+  auto *e = new tlz4_enc();
+  e->level = level;
+  e->legacy = legacy != 0;
+  e->block_size = block_size > 0 ? block_size
+                                 : (legacy ? kMaxBlockLegacy : kMaxBlock);
+  if (dict && dict_n > 0) {
+    int64_t take = std::min<int64_t>(dict_n, kMaxDistance);
+    e->buf.assign(dict + dict_n - take, dict + dict_n);
+    e->dict_len = take;
+  }
+  e->appended = e->next_block = e->dict_len;
+  return e;
+}
+
+void tlz4_enc_free(tlz4_enc *e) { delete e; }
+
+int64_t tlz4_enc_bound(const tlz4_enc *e, int64_t n) {
+  if (!e) return TLZ4_E_ARG;
+  int64_t pending = (e->appended - e->next_block) + std::max<int64_t>(n, 0);
+  int64_t blocks = pending / e->block_size + 2;
+  /* per block: size word (4) + the emit-pause slack (64, see
+   * tlz4_enc_write) + extension-byte worst case; plus header + end mark */
+  return pending + pending / 255 + blocks * 96 + 32;
+}
+
+static int64_t enc_emit_block(tlz4_enc *e, int64_t block_end, uint8_t *out,
+                              int64_t cap) {
+  const int64_t base = e->next_block;
+  const int64_t bs = block_end - base;
+  const uint8_t *block = e->buf.data() + (base - e->buf_zero);
+  int64_t op = 0;
+
+  bool stored = e->level == 0;
+  int64_t payload_n = bs;
+  if (!stored) {
+    e->lens.resize(size_t(bs));
+    e->dists.resize(size_t(bs));
+    int64_t lookback;
+    if (e->legacy) {
+      e->tables.reset();
+      lookback = 0;
+    } else if (e->first_block) {
+      lookback = e->dict_len;  /* seed the whole dictionary (spec mode) */
+    } else {
+      lookback = std::min<int64_t>(e->data_zero, kBlockEndNoMatch);
+    }
+    int64_t min_pos = e->legacy ? base : e->buf_zero;
+    match_block(e->tables, e->buf.data(), e->buf_zero, min_pos, base, bs,
+                e->level, lookback, e->lens.data(), e->dists.data());
+    if (bs > kBlockEndNoMatch && max_chain_of_level(e->level) > kGreedyLevels)
+      estimate_costs(e->lens.data(), e->dists.data(), bs);
+    int64_t comp = emit_block(block, bs, e->lens.data(), e->dists.data(),
+                              out + op + 4, cap - op - 4);
+    if (comp == TLZ4_E_CAP) return TLZ4_E_CAP;
+    if (comp < 0) return comp;
+    if (comp < bs || e->legacy) {
+      payload_n = comp;
+    } else {
+      stored = true;  /* compression did harm (smallz4.h:765-771) */
+    }
+  }
+  if (op + 4 + payload_n > cap) return TLZ4_E_CAP;
+  uint32_t tag = uint32_t(payload_n) |
+                 ((stored && !e->legacy) ? 0x80000000u : 0u);
+  store32(out + op, tag);
+  op += 4;
+  if (stored) std::memcpy(out + op, block, size_t(payload_n));
+  /* compressed payload was already written in place after the size word */
+  op += payload_n;
+
+  e->next_block = block_end;
+  e->first_block = false;
+  if (!e->legacy)
+    e->data_zero = std::max<int64_t>(e->data_zero, block_end - kMaxDistance);
+  /* trim retained context (legacy keeps nothing across blocks) */
+  int64_t keep_from = e->legacy ? block_end : std::max<int64_t>(e->buf_zero, block_end - kMaxDistance);
+  if (keep_from > e->buf_zero) {
+    e->buf.erase(e->buf.begin(), e->buf.begin() + (keep_from - e->buf_zero));
+    e->buf_zero = keep_from;
+  }
+  return op;
+}
+
+int64_t tlz4_enc_write(tlz4_enc *e, const uint8_t *in, int64_t n, int final,
+                       uint8_t *out, int64_t out_cap) {
+  if (!e || n < 0 || (n > 0 && !in) || e->finished) return TLZ4_E_ARG;
+  int64_t op = 0;
+  if (!e->header_sent) {
+    int64_t hn = e->legacy ? 4 : 7;
+    if (out_cap < hn) return TLZ4_E_CAP;
+    std::memcpy(out, e->legacy ? kMagicLegacy : kModernHeader, size_t(hn));
+    op += hn;
+    e->header_sent = true;
+  }
+  if (n > 0) {
+    e->buf.insert(e->buf.end(), in, in + n);
+    e->appended += n;
+  }
+  while (e->appended - e->next_block >= e->block_size ||
+         (final && e->appended > e->next_block)) {
+    int64_t block_end =
+        std::min(e->appended, e->next_block + e->block_size);
+    int64_t bs = block_end - e->next_block;
+    /* pause (not error) when the next block couldn't fit: the caller
+     * retries with n=0; encoder state is only mutated on emitted blocks */
+    if (out_cap - op < 4 + bs + bs / 255 + 64) {
+      if (op > 0) return op;
+      return TLZ4_E_CAP;
+    }
+    int64_t r = enc_emit_block(e, block_end, out + op, out_cap - op);
+    if (r < 0) return r;
+    op += r;
+  }
+  if (final && e->appended == e->next_block) {
+    if (!e->legacy) {
+      if (op + 4 > out_cap) {
+        if (op > 0) return op;  /* end mark on the next call */
+        return TLZ4_E_CAP;
+      }
+      store32(out + op, 0);  /* end mark */
+      op += 4;
+    }
+    e->finished = true;
+  }
+  return op;
+}
+
+/* ================================================================== */
+/* streaming decoder                                                   */
+/* ================================================================== */
+
+struct tlz4_dec {
+  std::vector<uint8_t> in;      /* unconsumed compressed bytes */
+  std::vector<uint8_t> hist;    /* up to 64 Ki of history (dict-primed) */
+  enum { HDR, BLOCKS, DONE } phase = HDR;
+  bool legacy = false;
+  bool block_checksum = false, content_checksum = false;
+};
+
+tlz4_dec *tlz4_dec_new(const uint8_t *dict, int64_t dict_n) {
+  auto *d = new tlz4_dec();
+  if (dict && dict_n > 0) {
+    int64_t take = std::min<int64_t>(dict_n, 65536);
+    d->hist.assign(dict + dict_n - take, dict + dict_n);
+  }
+  return d;
+}
+
+void tlz4_dec_free(tlz4_dec *d) { delete d; }
+
+static void dec_push_history(tlz4_dec *d, const uint8_t *data, int64_t n) {
+  if (n >= 65536) {
+    d->hist.assign(data + n - 65536, data + n);
+    return;
+  }
+  d->hist.insert(d->hist.end(), data, data + n);
+  if (int64_t(d->hist.size()) > 65536)
+    d->hist.erase(d->hist.begin(), d->hist.end() - 65536);
+}
+
+int64_t tlz4_dec_write(tlz4_dec *d, const uint8_t *in, int64_t n, int final,
+                       uint8_t *out, int64_t out_cap, int *done) {
+  if (!d || n < 0 || (n > 0 && !in) || !done) return TLZ4_E_ARG;
+  *done = d->phase == tlz4_dec::DONE;
+  if (d->phase == tlz4_dec::DONE) return 0;
+  if (n > 0) d->in.insert(d->in.end(), in, in + n);
+  int64_t op = 0;
+  size_t ip = 0;
+  const std::vector<uint8_t> &b = d->in;
+
+  if (d->phase == tlz4_dec::HDR) {
+    if (b.size() < 4) {
+      if (final) return TLZ4_E_DATA;
+      return 0;
+    }
+    if (!std::memcmp(b.data(), kMagicLegacy, 4)) {
+      d->legacy = true;
+      ip = 4;
+    } else if (!std::memcmp(b.data(), kMagicModern, 4)) {
+      if (b.size() < 7) {
+        if (final) return TLZ4_E_DATA;
+        return 0;
+      }
+      uint8_t flags = b[4];
+      if ((flags >> 6) != 1) return TLZ4_E_VERSION;
+      d->block_checksum = flags & 16;
+      d->content_checksum = flags & 4;
+      size_t hdr = 7;
+      if (flags & 8) hdr += 8;   /* content size: skipped */
+      if (flags & 1) hdr += 4;   /* dictionary id: skipped */
+      if (b.size() < hdr) {
+        if (final) return TLZ4_E_DATA;
+        return 0;
+      }
+      ip = hdr;
+    } else {
+      return TLZ4_E_MAGIC;
+    }
+    d->phase = tlz4_dec::BLOCKS;
+  }
+
+  while (d->phase == tlz4_dec::BLOCKS) {
+    if (b.size() - ip < 4) {
+      if (final) {
+        if (d->legacy) d->phase = tlz4_dec::DONE;  /* legacy: EOF ends */
+        else return TLZ4_E_DATA;
+      }
+      break;
+    }
+    uint32_t raw = load32(b.data() + ip);
+    bool is_compressed = d->legacy || !(raw & 0x80000000u);
+    int64_t size = d->legacy ? raw : (raw & 0x7FFFFFFFu);
+    if (size == 0) {
+      ip += 4;
+      d->phase = tlz4_dec::DONE;
+      break;
+    }
+    int64_t need = 4 + size + (d->block_checksum ? 4 : 0);
+    if (int64_t(b.size() - ip) < need) {
+      if (final) return TLZ4_E_DATA;
+      break;
+    }
+    const uint8_t *payload = b.data() + ip + 4;
+    int64_t produced;
+    if (is_compressed) {
+      produced = decode_block(payload, size, d->hist.data(),
+                              int64_t(d->hist.size()), out + op, out_cap - op);
+      if (produced == TLZ4_E_CAP && op > 0) break;  /* pause; resume next call */
+      if (produced < 0) return produced;
+    } else {
+      if (op + size > out_cap) {
+        if (op > 0) break;  /* pause */
+        return TLZ4_E_CAP;
+      }
+      std::memcpy(out + op, payload, size_t(size));
+      produced = size;
+    }
+    dec_push_history(d, out + op, produced);
+    op += produced;
+    ip += need;
+    if (d->legacy && is_compressed && produced < kMaxBlockLegacy) {
+      d->phase = tlz4_dec::DONE;  /* non-full legacy block ends the stream */
+      break;
+    }
+  }
+  if (d->phase == tlz4_dec::DONE && d->content_checksum) {
+    /* checksum skipped, not verified (smallz4cat.c:352-356) */
+    if (b.size() - ip >= 4) ip += 4;
+  }
+  d->in.erase(d->in.begin(), d->in.begin() + ip);
+  *done = d->phase == tlz4_dec::DONE;
+  return op;
+}
+
+/* ================================================================== */
+/* one-shot helpers                                                    */
+/* ================================================================== */
+
+int64_t tlz4_compress_bound(int64_t n) {
+  /* must dominate tlz4_enc_bound for a single final write */
+  return n + n / 255 + (n / kMaxBlock + 2) * 96 + 64;
+}
+
+int64_t tlz4_compress(const uint8_t *src, int64_t n, uint8_t *dst, int64_t cap,
+                      int level, int legacy, const uint8_t *dict,
+                      int64_t dict_n, int64_t block_size) {
+  std::unique_ptr<tlz4_enc, void (*)(tlz4_enc *)> e(
+      tlz4_enc_new(level, legacy, dict, dict_n, block_size), tlz4_enc_free);
+  if (!e) return TLZ4_E_ARG;
+  int64_t r = tlz4_enc_write(e.get(), src, n, 1, dst, cap);
+  if (r >= 0 && !e->finished) return TLZ4_E_CAP;  /* paused: cap too small */
+  return r;
+}
+
+int64_t tlz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
+                        int64_t cap, const uint8_t *dict, int64_t dict_n) {
+  std::unique_ptr<tlz4_dec, void (*)(tlz4_dec *)> d(
+      tlz4_dec_new(dict, dict_n), tlz4_dec_free);
+  if (!d) return TLZ4_E_ARG;
+  int done = 0;
+  int64_t r = tlz4_dec_write(d.get(), src, n, 1, dst, cap, &done);
+  if (r >= 0 && !done) return TLZ4_E_DATA;
+  return r;
+}
+
+/* ================================================================== */
+/* block-level entry points (TPU hybrid path)                          */
+/* ================================================================== */
+
+int64_t tlz4_match_block(const uint8_t *buf, int64_t buf_n, int64_t base,
+                         int64_t bs, int level, int64_t lookback,
+                         int32_t *out_len, int32_t *out_dist) {
+  if (!buf || base < 0 || bs < 0 || base + bs > buf_n || lookback > base ||
+      level < 1 || level > 9)
+    return TLZ4_E_ARG;
+  MatchTables tables;
+  match_block(tables, buf, /*buf_zero=*/0, /*min_pos=*/0, base, bs, level,
+              lookback, out_len, out_dist);
+  return 0;
+}
+
+int64_t tlz4_estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
+  if (!lens || !dists || n < 0) return TLZ4_E_ARG;
+  estimate_costs(lens, dists, n);
+  return 0;
+}
+
+int64_t tlz4_emit_block(const uint8_t *block, int64_t bs, const int32_t *lens,
+                        const int32_t *dists, uint8_t *out, int64_t cap) {
+  if (!block || !lens || !dists || bs < 0) return TLZ4_E_ARG;
+  return emit_block(block, bs, lens, dists, out, cap);
+}
+
+int64_t tlz4_parse_sequences(const uint8_t *payload, int64_t n,
+                             int32_t *lit_len, int32_t *match_len,
+                             int32_t *match_off, int32_t *lit_src,
+                             int64_t max_seq) {
+  int64_t ip = 0, ns = 0;
+  while (ip < n) {
+    if (ns >= max_seq) return TLZ4_E_CAP;
+    const uint8_t token = payload[ip++];
+    int64_t nl = token >> 4;
+    if (nl == 15) {
+      uint8_t c;
+      do {
+        if (ip >= n) return TLZ4_E_DATA;
+        c = payload[ip++];
+        nl += c;
+      } while (c == 255);
+    }
+    if (ip + nl > n) return TLZ4_E_DATA;
+    lit_src[ns] = int32_t(ip);
+    lit_len[ns] = int32_t(nl);
+    ip += nl;
+    if (ip == n) {  /* final literals-only token */
+      match_len[ns] = 0;
+      match_off[ns] = 0;
+      ns++;
+      break;
+    }
+    if (ip + 2 > n) return TLZ4_E_DATA;
+    int64_t delta = payload[ip] | (int64_t(payload[ip + 1]) << 8);
+    ip += 2;
+    if (delta == 0) return TLZ4_E_OFFSET;
+    int64_t ml = 4 + (token & 0x0F);
+    if (ml == 19) {
+      uint8_t c;
+      do {
+        if (ip >= n) return TLZ4_E_DATA;
+        c = payload[ip++];
+        ml += c;
+      } while (c == 255);
+    }
+    match_len[ns] = int32_t(ml);
+    match_off[ns] = int32_t(delta);
+    ns++;
+  }
+  return ns;
+}
+
+int64_t tlz4_decode_block(const uint8_t *payload, int64_t n,
+                          const uint8_t *hist, int64_t hist_n, uint8_t *out,
+                          int64_t cap) {
+  if (!payload || n < 0 || hist_n < 0) return TLZ4_E_ARG;
+  return decode_block(payload, n, hist, hist_n, out, cap);
+}
+
+const char *tlz4_version(void) { return "1.5"; }

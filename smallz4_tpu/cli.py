@@ -1,0 +1,165 @@
+"""Compressor CLI — flag/semantics parity with the reference CLI
+(smallz4.cpp:120-326): levels -0..-9, -f overwrite, -l legacy, -D dict,
+-v verbose, bundled flags (-f7), stdin/stdout defaults, '-' placeholder,
+overwrite guard, legacy restrictions, bare-invocation help on a tty."""
+from __future__ import annotations
+
+import os
+import sys
+
+from . import format as fmt
+from .utils import io as uio
+from .utils.progress import Progress
+
+PROGRAM = "smallz4-tpu"
+
+
+def show_help(out=sys.stdout) -> None:
+    print(
+        f"""smalLZ4-tpu {fmt.VERSION}: TPU-native compressor with optimal parsing, fully compatible with LZ4 by Yann Collet (see https://lz4.org)
+
+Basic usage:
+  {PROGRAM} [flags] [input] [output]
+
+This program writes to STDOUT if output isn't specified
+and reads from STDIN if input isn't specified, either.
+
+Examples:
+  {PROGRAM}   < abc.txt > abc.txt.lz4    # use STDIN and STDOUT
+  {PROGRAM}     abc.txt > abc.txt.lz4    # read from file and write to STDOUT
+  {PROGRAM}     abc.txt   abc.txt.lz4    # read from and write to file
+  cat abc.txt | {PROGRAM} - abc.txt.lz4  # read from STDIN and write to file
+  {PROGRAM} -6  abc.txt   abc.txt.lz4    # compression level 6 (instead of default 9)
+  {PROGRAM} -f  abc.txt   abc.txt.lz4    # overwrite an existing file
+  {PROGRAM} -f7 abc.txt   abc.txt.lz4    # compression level 7 and overwrite an existing file
+
+Flags:
+  -0, -1 ... -9   Set compression level, default: 9 (see below)
+  -h              Display this help message
+  -f              Overwrite an existing file
+  -l              Use LZ4 legacy file format
+  -D [FILE]       Load dictionary
+  -v              Verbose
+
+Compression levels:
+ -0               No compression
+ -1 ... -{fmt.SHORT_CHAINS_GREEDY}        Greedy search, check 1 to {fmt.SHORT_CHAINS_GREEDY} matches
+ -{fmt.SHORT_CHAINS_GREEDY + 1} ... -8        Lazy matching with optimal parsing, check {fmt.SHORT_CHAINS_GREEDY + 1} to 8 matches
+ -9               Optimal parsing, check all possible matches (default)
+""",
+        file=out,
+    )
+
+
+def error(msg: str, code: int = 1) -> "NoReturn":  # noqa: F821
+    print(f"ERROR: {msg}", file=sys.stderr)
+    raise SystemExit(code)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    # bare invocation on a terminal prints help (smallz4.cpp:169-173)
+    if not argv and sys.stdin.isatty():
+        show_help()
+        return 0
+
+    level = 9
+    overwrite = False
+    legacy = False
+    verbose = False
+    dictionary_path: str | None = None
+
+    # hand-rolled scan supporting bundled flags like -f7 (smallz4.cpp:194-249)
+    pos = 0
+    positional: list[str] = []
+    while pos < len(argv):
+        arg = argv[pos]
+        if arg.startswith("-") and arg != "-" and not positional:
+            for ch in arg[1:]:
+                if ch == "h":
+                    show_help()
+                    return 0
+                elif ch == "f":
+                    overwrite = True
+                elif ch == "l":
+                    legacy = True
+                elif ch == "v":
+                    verbose = True
+                elif ch == "D":
+                    if pos + 1 >= len(argv):
+                        error("no dictionary filename found")
+                    dictionary_path = argv[pos + 1]
+                    pos += 1
+                elif ch.isdigit():
+                    level = int(ch)
+                else:
+                    error("unknown flag")
+            pos += 1
+            continue
+        positional.append(arg)
+        pos += 1
+
+    if len(positional) > 2:
+        error("too many arguments")
+    in_path = positional[0] if len(positional) >= 1 else None
+    out_path = positional[1] if len(positional) >= 2 else None
+
+    # legacy restrictions (smallz4.cpp:272-279)
+    if legacy and dictionary_path is not None:
+        error("legacy format doesn't support dictionaries")
+    if legacy and level == 0:
+        error("legacy format doesn't support uncompressed files")
+
+    dictionary = None
+    if dictionary_path is not None:
+        try:
+            dictionary = uio.load_dictionary(dictionary_path)
+        except OSError:
+            error("cannot open dictionary")
+
+    try:
+        src = uio.open_input(in_path)
+    except OSError:
+        error("file not found")
+    try:
+        dst = uio.open_output(out_path, force=overwrite)
+    except FileExistsError:
+        error("output file already exists")
+    except OSError:
+        error("cannot create file")
+
+    total = 0
+    if verbose and in_path not in (None, "-"):
+        total = os.path.getsize(in_path)
+    progress = Progress(verbose, total_size=total)
+
+    from . import native
+    if native.available():
+        enc = native.Encoder(level=level, legacy=legacy, dictionary=dictionary)
+    else:
+        enc = _OracleEncoder(level, legacy, dictionary)
+
+    uio.pump(enc, src, dst, progress=progress)
+    progress.summary()
+    return 0
+
+
+class _OracleEncoder:
+    """Whole-buffer fallback when the native runtime isn't built."""
+
+    def __init__(self, level, legacy, dictionary):
+        self.level, self.legacy, self.dictionary = level, legacy, dictionary
+        self.buf = bytearray()
+
+    def write(self, chunk, final=False) -> bytes:
+        self.buf += chunk
+        if not final:
+            return b""
+        from . import oracle
+        return oracle.compress(bytes(self.buf), self.level, legacy=self.legacy,
+                               dictionary=self.dictionary)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

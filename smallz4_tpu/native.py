@@ -1,0 +1,302 @@
+"""ctypes binding to the native host runtime (native/libtlz4.so).
+
+The native library is the production single-stream path: the streaming
+frame encoder/decoder used by the CLIs, and the block-level entry points
+(match/parse/emit/sequence-split) that form the host side of the hybrid
+TPU pipeline.  Built on demand with `make -C native` (g++ only, no deps).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+import numpy as np
+
+from . import format as fmt
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libtlz4.so"
+_lock = threading.Lock()
+_lib = None
+
+_ERRORS = {
+    -1: "bad argument",
+    -2: "output buffer too small",
+    -3: "invalid signature",
+    -4: "only LZ4 file format version 1 supported",
+    -5: "invalid offset",
+    -6: "out of data",
+}
+
+
+def _raise(code: int):
+    msg = _ERRORS.get(code, f"native error {code}")
+    if code in (-3, -4, -5, -6):
+        raise fmt.FormatError(msg)
+    raise ValueError(msg)
+
+
+def _build() -> bool:
+    if not (_NATIVE_DIR / "Makefile").exists():
+        return False
+    res = subprocess.run(["make", "-C", str(_NATIVE_DIR), "-s"],
+                         capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(f"native build failed:\n{res.stderr}")
+    return _LIB_PATH.exists()
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if not _LIB_PATH.exists() and not _build():
+            return None
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        c_u8p = ctypes.POINTER(ctypes.c_uint8)
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        i64 = ctypes.c_int64
+        lib.tlz4_enc_new.restype = ctypes.c_void_p
+        lib.tlz4_enc_new.argtypes = [ctypes.c_int, ctypes.c_int, c_u8p, i64, i64]
+        lib.tlz4_enc_free.argtypes = [ctypes.c_void_p]
+        lib.tlz4_enc_write.restype = i64
+        lib.tlz4_enc_write.argtypes = [ctypes.c_void_p, c_u8p, i64, ctypes.c_int, c_u8p, i64]
+        lib.tlz4_enc_bound.restype = i64
+        lib.tlz4_enc_bound.argtypes = [ctypes.c_void_p, i64]
+        lib.tlz4_dec_new.restype = ctypes.c_void_p
+        lib.tlz4_dec_new.argtypes = [c_u8p, i64]
+        lib.tlz4_dec_free.argtypes = [ctypes.c_void_p]
+        lib.tlz4_dec_write.restype = i64
+        lib.tlz4_dec_write.argtypes = [ctypes.c_void_p, c_u8p, i64, ctypes.c_int, c_u8p, i64, ctypes.POINTER(ctypes.c_int)]
+        lib.tlz4_compress_bound.restype = i64
+        lib.tlz4_compress_bound.argtypes = [i64]
+        lib.tlz4_compress.restype = i64
+        lib.tlz4_compress.argtypes = [c_u8p, i64, c_u8p, i64, ctypes.c_int, ctypes.c_int, c_u8p, i64, i64]
+        lib.tlz4_decompress.restype = i64
+        lib.tlz4_decompress.argtypes = [c_u8p, i64, c_u8p, i64, c_u8p, i64]
+        lib.tlz4_match_block.restype = i64
+        lib.tlz4_match_block.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, c_i32p, c_i32p]
+        lib.tlz4_estimate_costs.restype = i64
+        lib.tlz4_estimate_costs.argtypes = [c_i32p, c_i32p, i64]
+        lib.tlz4_emit_block.restype = i64
+        lib.tlz4_emit_block.argtypes = [c_u8p, i64, c_i32p, c_i32p, c_u8p, i64]
+        lib.tlz4_parse_sequences.restype = i64
+        lib.tlz4_parse_sequences.argtypes = [c_u8p, i64, c_i32p, c_i32p, c_i32p, c_i32p, i64]
+        lib.tlz4_decode_block.restype = i64
+        lib.tlz4_decode_block.argtypes = [c_u8p, i64, c_u8p, i64, c_u8p, i64]
+        lib.tlz4_version.restype = ctypes.c_char_p
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    try:
+        return _load() is not None
+    except RuntimeError:
+        return False
+
+
+def _u8(buf) -> np.ndarray:
+    if isinstance(buf, np.ndarray):
+        return np.ascontiguousarray(buf, dtype=np.uint8)
+    return np.frombuffer(bytes(buf) if not isinstance(buf, (bytes, bytearray, memoryview)) else buf, dtype=np.uint8)
+
+
+def _ptr(arr: np.ndarray):
+    if arr.size == 0:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _ptr32(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+# ---------------------------------------------------------------------------
+# one-shot API
+# ---------------------------------------------------------------------------
+
+def compress(data, level=9, legacy=False, dictionary=None, block_size=None) -> bytes:
+    lib = _load()
+    if legacy and dictionary:
+        raise ValueError("legacy format doesn't support dictionaries")
+    if legacy and level == 0:
+        raise ValueError("legacy format doesn't support uncompressed files")
+    fmt.level_to_max_chain(level)  # validate
+    src = _u8(data)
+    d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
+    cap = lib.tlz4_compress_bound(len(src))
+    dst = np.empty(cap, np.uint8)
+    r = lib.tlz4_compress(_ptr(src), len(src), _ptr(dst), cap,
+                          level, int(legacy), _ptr(d), len(d),
+                          block_size or 0)
+    if r < 0:
+        _raise(r)
+    return dst[:r].tobytes()
+
+
+def decompress(data, dictionary=None) -> bytes:
+    with Decoder(dictionary=dictionary) as dec:
+        out = dec.write(data, final=True)
+        if not dec.done:
+            raise fmt.FormatError("out of data")
+        return out
+
+
+# ---------------------------------------------------------------------------
+# streaming contexts (CLI path)
+# ---------------------------------------------------------------------------
+
+class Encoder:
+    """Streaming frame encoder: feed chunks, receive compressed bytes."""
+
+    def __init__(self, level=9, legacy=False, dictionary=None, block_size=None):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native runtime not built")
+        d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
+        self._h = self._lib.tlz4_enc_new(level, int(legacy), _ptr(d), len(d),
+                                         block_size or 0)
+        if not self._h:
+            raise ValueError("invalid encoder parameters")
+
+    def write(self, chunk, final: bool = False) -> bytes:
+        src = _u8(chunk)
+        cap = self._lib.tlz4_enc_bound(self._h, len(src))
+        out = np.empty(cap, np.uint8)
+        r = self._lib.tlz4_enc_write(self._h, _ptr(src), len(src), int(final),
+                                     _ptr(out), cap)
+        if r < 0:
+            _raise(r)
+        return out[:r].tobytes()
+
+    def close(self):
+        if self._h:
+            self._lib.tlz4_enc_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Decoder:
+    """Streaming frame decoder: feed compressed chunks, receive output."""
+
+    OUT_CAP = (8 << 20) + (1 << 16)  # largest legacy block + slack
+
+    def __init__(self, dictionary=None):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native runtime not built")
+        d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
+        self._h = self._lib.tlz4_dec_new(_ptr(d), len(d))
+        self._out = np.empty(self.OUT_CAP, np.uint8)
+        self.done = False
+
+    def write(self, chunk, final: bool = False) -> bytes:
+        src = _u8(chunk)
+        pieces = []
+        off = 0
+        flag = ctypes.c_int(0)
+        # feed in slices so a burst of many blocks can't overflow out_cap
+        while True:
+            take = min(len(src) - off, 4 << 20)
+            r = self._lib.tlz4_dec_write(
+                self._h, _ptr(src[off:off + take]) if take else None, take,
+                int(final and off + take == len(src)),
+                _ptr(self._out), self.OUT_CAP, ctypes.byref(flag))
+            if r < 0:
+                _raise(r)
+            pieces.append(self._out[:r].tobytes())
+            off += take
+            self.done = bool(flag.value)
+            if off >= len(src):
+                # drain: repeat zero-length writes while full buffers come out
+                if r > 0 and not self.done:
+                    continue
+                break
+        return b"".join(pieces)
+
+    def close(self):
+        if self._h:
+            self._lib.tlz4_dec_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+# ---------------------------------------------------------------------------
+# block-level entry points (TPU hybrid path)
+# ---------------------------------------------------------------------------
+
+def match_block(buf, base: int, bs: int, level: int, lookback: int = 0):
+    """Per-position (len, dist) match arrays for one block with context."""
+    lib = _load()
+    b = _u8(buf)
+    lens = np.zeros(bs, np.int32)
+    dists = np.zeros(bs, np.int32)
+    r = lib.tlz4_match_block(_ptr(b), len(b), base, bs, level, lookback,
+                             _ptr32(lens), _ptr32(dists))
+    if r < 0:
+        _raise(r)
+    return lens, dists
+
+
+def estimate_costs(lens: np.ndarray, dists: np.ndarray) -> None:
+    lib = _load()
+    assert lens.dtype == np.int32 and dists.dtype == np.int32
+    r = lib.tlz4_estimate_costs(_ptr32(lens), _ptr32(dists), len(lens))
+    if r < 0:
+        _raise(r)
+
+
+def emit_block(block, lens: np.ndarray, dists: np.ndarray) -> bytes:
+    lib = _load()
+    b = _u8(block)
+    cap = len(b) + len(b) // 255 + 64
+    out = np.empty(cap, np.uint8)
+    r = lib.tlz4_emit_block(_ptr(b), len(b), _ptr32(lens), _ptr32(dists),
+                            _ptr(out), cap)
+    if r < 0:
+        _raise(r)
+    return out[:r].tobytes()
+
+
+def parse_sequences(payload):
+    """Split a compressed block payload into its sequence table."""
+    lib = _load()
+    p = _u8(payload)
+    max_seq = len(p) + 2
+    lit_len = np.empty(max_seq, np.int32)
+    match_len = np.empty(max_seq, np.int32)
+    match_off = np.empty(max_seq, np.int32)
+    lit_src = np.empty(max_seq, np.int32)
+    r = lib.tlz4_parse_sequences(_ptr(p), len(p), _ptr32(lit_len),
+                                 _ptr32(match_len), _ptr32(match_off),
+                                 _ptr32(lit_src), max_seq)
+    if r < 0:
+        _raise(r)
+    return lit_len[:r], match_len[:r], match_off[:r], lit_src[:r]
+
+
+def decode_block(payload, hist=b"", out_cap: int | None = None) -> bytes:
+    lib = _load()
+    p = _u8(payload)
+    h = _u8(hist)
+    cap = out_cap or (len(p) * 256 + (1 << 16))
+    out = np.empty(cap, np.uint8)
+    r = lib.tlz4_decode_block(_ptr(p), len(p), _ptr(h), len(h), _ptr(out), cap)
+    if r < 0:
+        _raise(r)
+    return out[:r].tobytes()

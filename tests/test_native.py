@@ -1,0 +1,134 @@
+"""Native C++ runtime tests: bit-parity with reference + oracle, streaming
+contexts, block-level entry points, error taxonomy."""
+import pathlib
+
+import numpy as np
+import pytest
+
+from smallz4_tpu import format as fmt
+from smallz4_tpu import native, oracle
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_native():
+    if not native.available():
+        pytest.skip("native runtime not built")
+
+
+@pytest.mark.parametrize("level", [0, 1, 2, 3, 4, 5, 6, 7, 8, 9])
+def test_bit_exact_vs_reference(reference, corpora, level):
+    for name, data in corpora.items():
+        assert native.compress(data, level) == reference.compress(data, level), (name, level)
+
+
+@pytest.mark.parametrize("level", [1, 3, 6, 9])
+def test_bit_exact_legacy(reference, corpora, level):
+    for name, data in corpora.items():
+        got = native.compress(data, level, legacy=True)
+        assert got == reference.compress(data, level, legacy=True), (name, level)
+
+
+def test_multiblock_bit_exact_vs_reference(reference):
+    # >4 MB forces multiple blocks: exercises history carry, lookback
+    # re-seeding and the block-boundary chain cut
+    rng = np.random.default_rng(3)
+    text = (pathlib.Path("/root/reference/smallz4.h").read_bytes()
+            + pathlib.Path("/root/reference/smallz4cat.c").read_bytes())
+    pieces = []
+    for i in range(100):
+        pieces.append(rng.integers(0, 256, 2000, dtype=np.uint8).tobytes())
+        pieces.append(b"repetitive payload %d " % (i % 7) * 80)
+        pieces.append(text)
+    data = b"".join(pieces)
+    assert len(data) > fmt.MAX_BLOCK_SIZE
+    ref9 = reference.compress(data, 9)
+    assert native.compress(data, 9) == ref9
+    assert native.compress(data, 1) == reference.compress(data, 1)
+    assert native.decompress(ref9) == data
+
+
+def test_matches_oracle_custom_blocks(corpora):
+    data = corpora["text"] + corpora["struct"]
+    for bs, level in ((500, 9), (4096, 5), (65536, 2)):
+        assert native.compress(data, level, block_size=bs) == oracle.compress(
+            data, level, block_size=bs
+        ), (bs, level)
+
+
+def test_dictionary_matches_oracle(corpora):
+    data = corpora["struct"]
+    dictionary = corpora["text"][:10000]
+    got = native.compress(data, 9, dictionary=dictionary)
+    assert got == oracle.compress(data, 9, dictionary=dictionary)
+    assert native.decompress(got, dictionary=dictionary) == data
+
+
+def test_streaming_encoder_chunked(reference, corpora):
+    data = (corpora["text"] + corpora["mixed"]) * 3
+    enc = native.Encoder(level=9)
+    parts = [enc.write(data[i : i + 999]) for i in range(0, len(data), 999)]
+    parts.append(enc.write(b"", final=True))
+    enc.close()
+    assert b"".join(parts) == reference.compress(data, 9)
+
+
+def test_streaming_decoder_chunked(reference, corpora):
+    data = corpora["struct"] * 5
+    frame = reference.compress(data, 9)
+    dec = native.Decoder()
+    parts = [dec.write(frame[i : i + 53]) for i in range(0, len(frame), 53)]
+    parts.append(dec.write(b"", final=True))
+    assert b"".join(parts) == data
+    assert dec.done
+
+
+def test_block_level_entry_points(corpora):
+    """The TPU-hybrid host ops: match -> DP -> emit == oracle pipeline."""
+    data = np.frombuffer(corpora["text"], dtype=np.uint8)
+    bs = len(data)
+    lens, dists = native.match_block(data, base=0, bs=bs, level=9)
+    native.estimate_costs(lens, dists)
+    payload = native.emit_block(data, lens, dists)
+    full = oracle.compress(corpora["text"], 9)
+    # oracle frame = header + block header + payload + end mark
+    assert payload == full[11:-4]
+    # decode_block closes the loop
+    assert native.decode_block(payload) == corpora["text"]
+
+
+def test_parse_sequences_roundtrip(corpora):
+    payload = oracle.compress(corpora["struct"], 9)[11:-4]
+    lit_len, match_len, match_off, lit_src = native.parse_sequences(payload)
+    # reconstruct by expansion
+    out = bytearray()
+    for ll, ml, off, src in zip(lit_len, match_len, match_off, lit_src):
+        out += payload[src : src + ll]
+        for _ in range(ml):
+            out.append(out[len(out) - off])
+    assert bytes(out) == corpora["struct"]
+    assert match_len[-1] == 0  # final literals-only token
+
+
+def test_error_taxonomy():
+    with pytest.raises(fmt.FormatError, match="invalid signature"):
+        native.decompress(b"garbage-stream")
+    with pytest.raises(fmt.FormatError, match="version 1"):
+        native.decompress(fmt.MAGIC_MODERN_BYTES + bytes([0x80, 0x70, 0]) + b"\x00" * 8)
+    bad = bytes([0x10, 0x41, 0x00, 0x00, 0x04])
+    frame = fmt.build_frame_header() + fmt.build_block_header(len(bad), False) + bad + fmt.END_MARK
+    with pytest.raises(fmt.FormatError, match="invalid offset"):
+        native.decompress(frame)
+    good = native.compress(b"hello world " * 100)
+    with pytest.raises(fmt.FormatError, match="out of data"):
+        native.decompress(good[:-6])
+    with pytest.raises(ValueError):
+        native.compress(b"x", 9, legacy=True, dictionary=b"d")
+
+
+def test_incompressible_stored(reference):
+    rng = np.random.default_rng(11)
+    data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+    got = native.compress(data, 9)
+    assert got == reference.compress(data, 9)
+    assert len(got) == len(data) + 15
+    assert native.decompress(got) == data

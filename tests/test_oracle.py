@@ -10,7 +10,7 @@ import pytest
 from smallz4_tpu import format as fmt
 from smallz4_tpu import oracle
 
-FAST_LEVELS = [0, 1, 2, 3, 6, 9]
+FAST_LEVELS = [0, 2, 6, 9]
 ALL_LEVELS = list(range(10))
 
 
@@ -22,7 +22,7 @@ def test_bit_exact_modern(reference, corpora, level):
         assert mine == ref, f"{name} -{level}: {len(mine)} vs {len(ref)}"
 
 
-@pytest.mark.parametrize("level", [1, 3, 6, 9])
+@pytest.mark.parametrize("level", [3, 9])
 def test_bit_exact_legacy(reference, corpora, level):
     for name, data in corpora.items():
         mine = oracle.compress(data, level, legacy=True)
