@@ -1,0 +1,132 @@
+"""Benchmark driver: one JSON line on stdout.
+
+Measures the framework's headline path — level-9-class encode throughput on
+one chip — on a deterministic 10 MB Silesia-like corpus, and compares
+against the reference encoder (built and timed live from /root/reference
+when present; otherwise the recorded BASELINE.md numbers).
+
+The constraint checked alongside throughput: compressed size <= the
+reference's `smallz4 -9` size on the same corpus, and a verified bit-exact
+round-trip.  Details go to stderr; stdout carries exactly one JSON line:
+
+  {"metric": ..., "value": ..., "unit": "MB/s", "vs_baseline": ...}
+"""
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_DIR = pathlib.Path("/root/reference")
+BASELINE_REF_MBPS = 0.9       # measured encode -9 (BASELINE.md)
+CORPUS_BYTES = 10_000_000
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_corpus(n: int = CORPUS_BYTES) -> bytes:
+    """Deterministic Silesia-like mix: text-heavy with structured and
+    binary regions (seeded; identical on every machine)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    words = [
+        b"the", b"of", b"and", b"compression", b"lz4", b"block", b"match",
+        b"offset", b"literal", b"frame", b"data", b"stream", b"token",
+        b"entropy", b"window", b"hash", b"parse", b"optimal", b"sequence",
+        b"buffer", b"kernel", b"device", b"vector", b"tensor", b"shard",
+    ]
+    out = bytearray()
+    while len(out) < n:
+        k = len(out) % 7
+        if k < 4:  # prose
+            sent = b" ".join(words[i] for i in rng.integers(0, len(words), 12))
+            out += sent + b". "
+        elif k == 4:  # structured records
+            row = b"%08d,%s,%04x;" % (len(out), words[int(rng.integers(0, len(words)))],
+                                      int(rng.integers(0, 65536)))
+            out += row * 40
+        elif k == 5:  # binary
+            out += rng.integers(0, 256, 1500, dtype=np.uint8).tobytes()
+        else:  # runs
+            out += bytes([int(rng.integers(32, 127))]) * int(rng.integers(50, 400))
+    return bytes(out[:n])
+
+
+def reference_numbers(corpus: bytes):
+    """Build + time the reference encoder live; fall back to BASELINE."""
+    if not REF_DIR.exists():
+        return None, BASELINE_REF_MBPS
+    binary = pathlib.Path("/tmp/refbin/smallz4")
+    if not binary.exists():
+        binary.parent.mkdir(parents=True, exist_ok=True)
+        r = subprocess.run(
+            ["g++", "-O2", "-s", str(REF_DIR / "smallz4.cpp"), "-o", str(binary)],
+            capture_output=True,
+        )
+        if r.returncode != 0:
+            return None, BASELINE_REF_MBPS
+    t0 = time.time()
+    res = subprocess.run([str(binary), "-9"], input=corpus, capture_output=True)
+    dt = time.time() - t0
+    if res.returncode != 0:
+        return None, BASELINE_REF_MBPS
+    return len(res.stdout), len(corpus) / dt / 1e6
+
+
+def main() -> int:
+    corpus = make_corpus()
+    ref_size, ref_mbps = reference_numbers(corpus)
+    log(f"reference: size={ref_size} encode={ref_mbps:.2f} MB/s")
+
+    from smallz4_tpu import native
+
+    engine = "native"
+    frame = None
+    mbps = 0.0
+    try:
+        import jax
+        devs = jax.devices()
+        on_tpu = any("tpu" in str(d).lower() for d in devs)
+        log(f"jax devices: {devs} (tpu={on_tpu})")
+        from smallz4_tpu.ops import pipeline
+
+        K = int(os.environ.get("SMALLZ4_TPU_BENCH_K", "16"))
+        pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)  # warm/compile
+        t0 = time.time()
+        frame = pipeline.compress(corpus, 9, max_candidates=K)
+        mbps = len(corpus) / (time.time() - t0) / 1e6
+        engine = f"tpu-turbo-k{K}" if on_tpu else f"cpu-sim-turbo-k{K}"
+    except Exception as e:  # TPU path unavailable: report the native engine
+        log(f"tpu path unavailable ({type(e).__name__}: {e}); using native")
+        t0 = time.time()
+        frame = native.compress(corpus, 9)
+        mbps = len(corpus) / (time.time() - t0) / 1e6
+        engine = "native-exact"
+
+    ok = native.decompress(frame) == corpus
+    size = len(frame)
+    log(f"{engine}: encode {mbps:.2f} MB/s, size={size}, roundtrip={ok}")
+    if ref_size is not None:
+        log(f"size vs reference -9: {size - ref_size:+d} bytes "
+            f"({(size / ref_size - 1) * 100:+.3f}%)")
+    if not ok:
+        log("FATAL: round-trip failed")
+        return 1
+
+    print(json.dumps({
+        "metric": f"silesia_like_10MB_encode_level9_{engine}",
+        "value": round(mbps, 3),
+        "unit": "MB/s",
+        "vs_baseline": round(mbps / ref_mbps, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

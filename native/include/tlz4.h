@@ -101,6 +101,22 @@ int64_t tlz4_match_block(const uint8_t *buf, int64_t buf_n, int64_t base,
                          int64_t bs, int level, int64_t lookback,
                          int32_t *out_len, int32_t *out_dist);
 
+/* tlz4_match_block with an explicit boundary chain-cut position (the
+ * sequential re-insertion anomaly; pass base-12 for carried-history blocks
+ * of a 4 MB frame, -1 for none). */
+int64_t tlz4_match_block_ex(const uint8_t *buf, int64_t buf_n, int64_t base,
+                            int64_t bs, int level, int64_t lookback,
+                            int64_t cut_pos, int32_t *out_len,
+                            int32_t *out_dist);
+
+/* Selective re-search (level-9 semantics): runs the match search only at
+ * positions with mask[i] != 0; others keep their incoming (len, dist).
+ * Host side of the TPU parity fallback for unconverged lanes. */
+int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
+                          int64_t bs, int64_t lookback, int64_t cut_pos,
+                          const uint8_t *mask, int32_t *out_len,
+                          int32_t *out_dist);
+
 /* Backward optimal-parse DP; shortens lens in place (reference parity:
  * smallz4.h:376-472). */
 int64_t tlz4_estimate_costs(int32_t *lens, const int32_t *dists, int64_t n);

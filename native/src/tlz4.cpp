@@ -132,13 +132,20 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
  * candidate gate, greedy/lazy skip bookkeeping, trailing literals. */
 void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
                  int64_t min_pos, int64_t base, int64_t bs, int level,
-                 int64_t lookback, int32_t *lens, int32_t *dists) {
+                 int64_t lookback, int32_t *lens, int32_t *dists,
+                 const uint8_t *refine_mask = nullptr,
+                 int64_t cut_pos = -1) {
+  /* refine_mask: when set (level-9 only, no skip interdependence), run the
+   * search only at flagged positions; unflagged keep their incoming
+   * (len, dist) — the host side of the TPU parity fallback. */
   const int64_t max_chain = max_chain_of_level(level);
   const bool is_greedy = max_chain <= kGreedyLevels;
   const bool is_lazy = !is_greedy && max_chain <= kLazyLevels;
   const int64_t match_limit = base + bs - kBlockEndLiterals;
-  std::memset(lens, 0, sizeof(int32_t) * size_t(bs));
-  std::memset(dists, 0, sizeof(int32_t) * size_t(bs));
+  if (!refine_mask) {
+    std::memset(lens, 0, sizeof(int32_t) * size_t(bs));
+    std::memset(dists, 0, sizeof(int32_t) * size_t(bs));
+  }
 
   int64_t skip = 0;
   bool lazy_eval = false;
@@ -155,8 +162,15 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       }
     }
     int64_t q0 = insert_and_gate(t, buf, buf_zero, min_pos, p, load32(pp));
+    if (p == cut_pos) {
+      /* emulate the sequential boundary chain cut (re-insertion anomaly,
+       * smallz4.h:667,676,720) when running stateless on a halo context */
+      t.link[p & kMaxDistance] = -1;
+      continue;
+    }
     if (q0 < 0) continue;  /* gate: no skip bookkeeping without a candidate */
     if (i < 0) continue;   /* lookback seeding only updates tables */
+    if (refine_mask && !refine_mask[i]) continue;
     if (skip > 0) {
       skip--;
       if (!lazy_eval) continue;
@@ -169,8 +183,10 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       skip = lens[i];
     }
   }
-  for (; i < bs; i++) {  /* trailing positions are always literals */
-    if (i >= 0) { lens[i] = 1; dists[i] = 0; }
+  if (!refine_mask) {
+    for (; i < bs; i++) {  /* trailing positions are always literals */
+      if (i >= 0) { lens[i] = 1; dists[i] = 0; }
+    }
   }
 }
 
@@ -652,12 +668,33 @@ int64_t tlz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
 int64_t tlz4_match_block(const uint8_t *buf, int64_t buf_n, int64_t base,
                          int64_t bs, int level, int64_t lookback,
                          int32_t *out_len, int32_t *out_dist) {
+  return tlz4_match_block_ex(buf, buf_n, base, bs, level, lookback, -1,
+                             out_len, out_dist);
+}
+
+int64_t tlz4_match_block_ex(const uint8_t *buf, int64_t buf_n, int64_t base,
+                            int64_t bs, int level, int64_t lookback,
+                            int64_t cut_pos, int32_t *out_len,
+                            int32_t *out_dist) {
   if (!buf || base < 0 || bs < 0 || base + bs > buf_n || lookback > base ||
       level < 1 || level > 9)
     return TLZ4_E_ARG;
   MatchTables tables;
   match_block(tables, buf, /*buf_zero=*/0, /*min_pos=*/0, base, bs, level,
-              lookback, out_len, out_dist);
+              lookback, out_len, out_dist, nullptr, cut_pos);
+  return 0;
+}
+
+int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
+                          int64_t bs, int64_t lookback, int64_t cut_pos,
+                          const uint8_t *mask, int32_t *out_len,
+                          int32_t *out_dist) {
+  if (!buf || !mask || base < 0 || bs < 0 || base + bs > buf_n ||
+      lookback > base)
+    return TLZ4_E_ARG;
+  MatchTables tables;
+  match_block(tables, buf, /*buf_zero=*/0, /*min_pos=*/0, base, bs,
+              /*level=*/9, lookback, out_len, out_dist, mask, cut_pos);
   return 0;
 }
 

@@ -80,6 +80,8 @@ def _load():
         lib.tlz4_decompress.argtypes = [c_u8p, i64, c_u8p, i64, c_u8p, i64]
         lib.tlz4_match_block.restype = i64
         lib.tlz4_match_block.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, c_i32p, c_i32p]
+        lib.tlz4_match_refine.restype = i64
+        lib.tlz4_match_refine.argtypes = [c_u8p, i64, i64, i64, i64, i64, c_u8p, c_i32p, c_i32p]
         lib.tlz4_estimate_costs.restype = i64
         lib.tlz4_estimate_costs.argtypes = [c_i32p, c_i32p, i64]
         lib.tlz4_emit_block.restype = i64
@@ -251,6 +253,21 @@ def match_block(buf, base: int, bs: int, level: int, lookback: int = 0):
     if r < 0:
         _raise(r)
     return lens, dists
+
+
+def match_refine(buf, base: int, bs: int, lookback: int,
+                 mask: np.ndarray, lens: np.ndarray, dists: np.ndarray,
+                 cut_pos: int = -1) -> None:
+    """Re-run the level-9 search at masked positions only, in place.
+    ``cut_pos``: boundary chain-cut position (base-12 for carried-history
+    blocks of a standard frame, -1 for none)."""
+    lib = _load()
+    b = _u8(buf)
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    r = lib.tlz4_match_refine(_ptr(b), len(b), base, bs, lookback, cut_pos,
+                              _ptr(m), _ptr32(lens), _ptr32(dists))
+    if r < 0:
+        _raise(r)
 
 
 def estimate_costs(lens: np.ndarray, dists: np.ndarray) -> None:

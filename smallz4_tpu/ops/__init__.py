@@ -1,0 +1,1 @@
+from ..utils import jaxcfg  # noqa: F401  (persistent compile cache first)

@@ -1,0 +1,170 @@
+"""The 'tpu' engine: hybrid device/host LZ4 pipeline for one chip.
+
+Encode:  device match-finder kernel (ops.match_finder, the hot loop) feeds
+the host optimal-parse DP + emitter (native runtime; serial byte-stream
+glue stays on the host by design — SURVEY.md §7).  Decode: host sequence
+parse feeds the device expansion kernel (ops.decoder).
+
+Stream compatibility: identical framing to the sequential engines; with
+the default 4 MB blocks and a fully converged search the compressed stream
+is bit-identical to `smallz4 -9`.  Unconverged lanes (more than
+``max_candidates`` same-gram occurrences in the window with improvements
+still possible) fall back per-block to the native exact matcher when
+``parity=True``; otherwise the near-optimal match is kept (stream stays
+valid; ratio within noise of -9).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .. import format as fmt
+from . import match_finder, decoder
+
+HALO = fmt.MAX_DISTANCE  # 64 KB - 1: the dependent-block history window
+
+
+def _blocks(n: int, block_size: int):
+    return [(i, min(i + block_size, n)) for i in range(0, n, block_size)]
+
+
+def compress(
+    data,
+    level: int = 9,
+    legacy: bool = False,
+    dictionary=None,
+    block_size: int | None = None,
+    max_candidates: int = 64,
+    parity: bool = False,
+) -> bytes:
+    """Compress via the device match kernel.  ``level`` selects only the
+    frame metadata path here — the device search is always the optimal
+    (level-9) configuration; lower levels delegate to the native engine."""
+    from .. import native
+
+    data = bytes(data) if not isinstance(data, (bytes, bytearray)) else bytes(data)
+    if legacy and dictionary:
+        raise ValueError("legacy format doesn't support dictionaries")
+    if level != 9:
+        # capped-chain levels have serial skip/probe semantics: host path
+        return native.compress(data, level, legacy=legacy, dictionary=dictionary,
+                               block_size=block_size)
+    if block_size is None:
+        block_size = fmt.MAX_BLOCK_SIZE_LEGACY if legacy else fmt.MAX_BLOCK_SIZE
+
+    dict_tail = b""
+    if dictionary and not legacy:
+        dict_tail = bytes(dictionary)[-fmt.MAX_DISTANCE:]
+
+    out = bytearray(fmt.build_frame_header(legacy))
+    n = len(data)
+    SEG, SEG_BUF, TAIL, B = (match_finder.SEG, match_finder.SEG_BUF,
+                             match_finder.TAIL, 8)
+    # virtual stream: dictionary tail is a prefix of block 0's history
+    vdata = dict_tail + data
+    d = len(dict_tail)
+    for start, end in _blocks(n, block_size):
+        bs = end - start
+        vstart, vend = start + d, end + d
+        # the boundary chain cut exists only when the sequential encoder's
+        # lookback is the full 12 bytes (dataZero >= 12: smallz4.h:615-617)
+        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+
+        lens = np.empty(bs, np.int32)
+        dists = np.empty(bs, np.int32)
+        conv = np.ones(bs, bool)
+        seg_starts = list(range(vstart, vend, SEG))
+        bufs = np.zeros((B, SEG_BUF), np.uint8)
+        sv = np.empty(B, np.int32)
+        ev = np.empty(B, np.int32)
+        cf = np.empty(B, bool)
+        for g0 in range(0, len(seg_starts), B):
+            group = seg_starts[g0 : g0 + B]
+            bufs[:] = 0
+            sv[:] = SEG_BUF  # padding rows: nothing valid
+            ev[:] = 0
+            cf[:] = False
+            for r, s0 in enumerate(group):
+                lo = max(s0 - HALO, vstart if legacy else 0)
+                hi = min(s0 + SEG + TAIL, vend)
+                hl = s0 - lo
+                arr = np.frombuffer(vdata[lo:hi], np.uint8)
+                bufs[r, HALO - hl : HALO - hl + len(arr)] = arr
+                sv[r] = HALO - hl
+                ev[r] = HALO - hl + len(arr)
+                cf[r] = block_cut and s0 == vstart
+            lens_d, dists_d, conv_d = match_finder.match_segments(
+                jnp.asarray(bufs), jnp.asarray(sv), jnp.asarray(ev),
+                jnp.asarray(cf), max_candidates=max_candidates,
+            )
+            lens_np = np.asarray(lens_d)
+            dists_np = np.asarray(dists_d)
+            conv_np = np.asarray(conv_d)
+            for r, s0 in enumerate(group):
+                w = min(SEG, vend - s0)
+                o = s0 - vstart
+                lens[o : o + w] = lens_np[r, :w]
+                dists[o : o + w] = dists_np[r, :w]
+                conv[o : o + w] = conv_np[r, :w]
+        # block-tail rule: the last 11 positions are literals
+        tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
+        lens[bs - tail :] = 1
+        dists[bs - tail :] = 0
+        conv[bs - tail :] = True
+
+        if parity:
+            mask = ~conv
+            if mask.any():
+                lo = vstart if legacy else max(vstart - HALO, 0)
+                base_r = vstart - lo
+                ctxb = np.frombuffer(vdata[lo:vend], np.uint8)
+                native.match_refine(
+                    ctxb, base=base_r, bs=bs, lookback=base_r,
+                    mask=mask, lens=lens, dists=dists,
+                    cut_pos=(base_r - fmt.BLOCK_END_NO_MATCH) if block_cut else -1,
+                )
+        native.estimate_costs(lens, dists)
+        payload = native.emit_block(data[start:end], lens, dists)
+        if len(payload) < bs or legacy:
+            out += fmt.build_block_header(len(payload), stored=False, legacy=legacy)
+            out += payload
+        else:
+            out += fmt.build_block_header(bs, stored=True, legacy=legacy)
+            out += data[start:end]
+    out += fmt.build_end_mark(legacy)
+    return bytes(out)
+
+
+def decompress(data, dictionary=None) -> bytes:
+    """Decode a frame with the device expansion kernel."""
+    data = bytes(data)
+    info = fmt.parse_frame_header(data)
+    pos = info.header_size
+    block_cap = fmt.MAX_BLOCK_SIZE_LEGACY if info.legacy else fmt.MAX_BLOCK_SIZE
+    dec = decoder.TpuBlockDecoder(out_cap=block_cap)
+    out = bytearray()
+    hist = bytes(dictionary)[-65536:] if dictionary else b""
+    while True:
+        if pos + 4 > len(data):
+            if info.legacy:
+                break
+            raise fmt.FormatError("out of data")
+        size, is_compressed = fmt.parse_block_header(data[pos : pos + 4], info.legacy)
+        pos += 4
+        if size == 0:
+            break
+        if pos + size > len(data):
+            raise fmt.FormatError("out of data")
+        payload = data[pos : pos + size]
+        pos += size
+        if is_compressed:
+            block = dec.decode(payload, hist)
+        else:
+            block = payload
+        out += block
+        hist = (hist + block)[-65536:]
+        if info.has_block_checksum:
+            pos += 4
+        if info.legacy and is_compressed and len(block) < fmt.MAX_BLOCK_SIZE_LEGACY:
+            break
+    return bytes(out)

@@ -1,0 +1,208 @@
+"""Multi-chip scale-out: LZ4 blocks data-parallel over a jax.sharding.Mesh.
+
+The reference is single-threaded (SURVEY.md §2 "Parallelism: none"); this
+module is the framework's from-scratch distribution layer:
+
+* **DP over blocks** — the frame's blocks are independent given a 64 KB
+  halo (the dependent-block history carry, smallz4.h:798-805).  A batch of
+  fixed-size blocks is sharded across the mesh's ``blocks`` axis.
+* **Halo exchange** — each device receives its left neighbor's trailing
+  64 KB via ``jax.lax.ppermute`` over ICI (the "context parallelism"
+  analog), so the sharded output is bit-identical to the sequential
+  stream (chain-cut semantics included, ops.match_finder).
+* **Ragged outputs** — per-block compressed sizes are data-dependent; the
+  device path returns fixed-shape match arrays, and the host packs the
+  ragged token streams in frame order (ordered concat on host 0).
+
+The device step (match search) is the hot loop; the serial byte-stream
+glue (DP + emit) stays on the host and runs per-block in a thread pool —
+the native runtime releases the GIL.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import format as fmt
+from ..ops import match_finder
+
+HALO = fmt.MAX_DISTANCE
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def _match_batch(ctx, start_valid, end_valid, cut, max_candidates):
+    """vmapped single-block search: ctx [B, HALO+S]."""
+    fn = functools.partial(
+        match_finder.match_block,
+        base=HALO,
+        max_candidates=max_candidates,
+    )
+    return jax.vmap(
+        lambda c, s, e, k: fn(c, start_valid=s, end_valid=e, cut_boundary=k)
+    )(ctx, start_valid, end_valid, cut)
+
+
+def sharded_match_step(mesh: Mesh, block_size: int, max_candidates: int = 64):
+    """Build the jitted multi-chip step: blocks sharded over the mesh, halo
+    exchanged over ICI with ppermute.
+
+    In:  blocks  uint8[B, S]   (B divisible by mesh size),
+         lengths int32[B]      (valid bytes per block; 0 = padding block),
+         first_hist int32      (history bytes available to block 0: 0 or
+                                the dictionary length)
+    Out: lens, dists, converged  int32[B, S]
+    """
+    axis = mesh.axis_names[0]
+
+    def step(blocks, lengths, first_hist):
+        def local(blocks_l, lengths_l, first_hist_l):
+            nd = jax.lax.axis_size(axis)
+            idx = jax.lax.axis_index(axis)
+            bl, s = blocks_l.shape
+            # tail of each local block -> halo of the next; device boundary
+            # tails travel left->right around the ring (ICI neighbor hop).
+            # Blocks smaller than the 64 KB window (dry-run shapes) carry a
+            # zero-padded, truncated halo.
+            halo_w = min(HALO, s)
+            tails = blocks_l[:, -halo_w:]
+            prev_tail_remote = jax.lax.ppermute(
+                tails[-1], axis, perm=[(i, (i + 1) % nd) for i in range(nd)]
+            )
+            halos = jnp.concatenate(
+                [prev_tail_remote[None], tails[:-1]], axis=0
+            )
+            if halo_w < HALO:
+                halos = jnp.concatenate(
+                    [jnp.zeros((bl, HALO - halo_w), blocks_l.dtype), halos],
+                    axis=1,
+                )
+            ctx = jnp.concatenate([halos, blocks_l], axis=1)
+            # per-block valid ranges inside the fixed ctx buffer
+            gidx = idx * bl + jnp.arange(bl, dtype=jnp.int32)
+            hist_len = jnp.where(
+                gidx == 0,
+                jnp.minimum(first_hist_l, halo_w),
+                halo_w,
+            )
+            # padding blocks (lengths 0) and short final blocks
+            start_valid = (HALO - hist_len).astype(jnp.int32)
+            end_valid = (HALO + lengths_l).astype(jnp.int32)
+            cut = gidx > 0  # boundary chain cut for carried-history blocks
+            lens, dists, conv = _match_batch(ctx, start_valid, end_valid, cut,
+                                             max_candidates)
+            return lens, dists, conv
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        kwargs = dict(
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P()),
+            out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        )
+        try:
+            # the kernel's while-loop carries start as replicated constants;
+            # skip the varying-manual-axes check (outputs are still sharded
+            # exactly per out_specs)
+            wrapped = shard_map(local, check_vma=False, **kwargs)
+        except TypeError:
+            wrapped = shard_map(local, check_rep=False, **kwargs)
+        return wrapped(blocks, lengths, first_hist)
+
+    return jax.jit(step)
+
+
+def compress_sharded(
+    data: bytes,
+    mesh: Mesh | None = None,
+    block_size: int = fmt.MAX_BLOCK_SIZE,
+    max_candidates: int = 64,
+    dictionary: bytes | None = None,
+    parity: bool = False,
+) -> bytes:
+    """Block-data-parallel level-9 compression over a device mesh.
+
+    Output framing is identical to the sequential engines; with converged
+    search (or parity=True) the stream is bit-identical to `smallz4 -9`
+    when block_size is the 4 MB default."""
+    from .. import native
+
+    data = bytes(data)
+    mesh = mesh or make_mesh()
+    nd = mesh.devices.size
+    n = len(data)
+    dict_tail = bytes(dictionary)[-fmt.MAX_DISTANCE:] if dictionary else b""
+
+    if block_size < HALO + 1:
+        raise ValueError("sharded path needs block_size >= 64 KB (halo span)")
+    nblocks = max(1, -(-n // block_size))
+    batch = -(-nblocks // nd) * nd  # pad to a multiple of the mesh size
+    if dict_tail and batch == nblocks:
+        batch += nd  # need a padding block to carry the dictionary halo
+    blocks = np.zeros((batch, block_size), np.uint8)
+    lengths = np.zeros(batch, np.int32)
+    for b in range(nblocks):
+        chunk = data[b * block_size : (b + 1) * block_size]
+        blocks[b, : len(chunk)] = np.frombuffer(chunk, np.uint8)
+        lengths[b] = len(chunk)
+    if dict_tail:
+        # the dictionary is block 0's halo: place it as the "previous
+        # block" tail by prepending a virtual block is unnecessary — the
+        # device step takes first_hist and block 0 reads its halo from the
+        # ring ppermute (the last, padding block), so we inject it there.
+        last = batch - 1
+        blocks[last, block_size - len(dict_tail):] = np.frombuffer(dict_tail, np.uint8)
+
+    step = sharded_match_step(mesh, block_size, max_candidates)
+    lens_d, dists_d, conv_d = step(
+        jnp.asarray(blocks), jnp.asarray(lengths), jnp.int32(len(dict_tail))
+    )
+    lens_all = np.asarray(lens_d).astype(np.int32)
+    dists_all = np.asarray(dists_d).astype(np.int32)
+    conv_all = np.asarray(conv_d)
+
+    def finish(b: int) -> tuple[bytes, bool]:
+        bs = int(lengths[b])
+        block = data[b * block_size : b * block_size + bs]
+        lens = lens_all[b, :bs].copy()
+        dists = dists_all[b, :bs].copy()
+        if parity:
+            mask = ~conv_all[b, :bs]
+            if mask.any():
+                if b == 0:
+                    hist = dict_tail
+                else:
+                    hist = data[max(0, b * block_size - HALO) : b * block_size]
+                ctx = np.frombuffer(hist + block, np.uint8)
+                cut = (b > 0 and b * block_size >= HALO + fmt.BLOCK_END_NO_MATCH)
+                native.match_refine(
+                    ctx, base=len(hist), bs=bs, lookback=len(hist),
+                    mask=mask, lens=lens, dists=dists,
+                    cut_pos=(len(hist) - fmt.BLOCK_END_NO_MATCH) if cut else -1,
+                )
+        native.estimate_costs(lens, dists)
+        payload = native.emit_block(block, lens, dists)
+        if len(payload) < bs:
+            return payload, False
+        return block, True
+
+    out = bytearray(fmt.build_frame_header(False))
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(finish, range(nblocks)))
+    for payload, stored in results:  # ordered concat: frame order preserved
+        out += fmt.build_block_header(len(payload), stored=stored, legacy=False)
+        out += payload
+    out += fmt.build_end_mark(False)
+    return bytes(out)

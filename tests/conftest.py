@@ -4,11 +4,20 @@ import os
 import pathlib
 import subprocess
 
-# must run before any jax import: simulate an 8-chip mesh on CPU
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Simulate an 8-chip mesh on CPU.  The container's sitecustomize imports
+# jax at interpreter start with JAX_PLATFORMS pinned to the TPU plugin, so
+# setting the env here is too late — update jax.config directly (backends
+# are initialized lazily, on first device use).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 import numpy as np
 import pytest
@@ -73,11 +82,11 @@ def corpora() -> dict[str, bytes]:
         "tiny": b"abc",
         "just12": b"abcdabcdabcd",
         "hello": b"hello hello hello hello world",
-        "text": text[:40000],
+        "text": text[:24000],
         "random": rng.integers(0, 256, 4096, dtype=np.uint8).tobytes(),
-        "run": b"a" * 20000,
-        "run_mid": b"x" * 9000 + b"abcx" * 64 + b"y" * 3000,
-        "struct": b"the quick brown fox jumps over the lazy dog. " * 300,
+        "run": b"a" * 12000,
+        "run_mid": b"x" * 6000 + b"abcx" * 64 + b"y" * 2000,
+        "struct": b"the quick brown fox jumps over the lazy dog. " * 200,
         "mixed": b"".join(
             rng.integers(0, 256, 80, dtype=np.uint8).tobytes() + b"needle" * 10
             for _ in range(40)

@@ -35,10 +35,14 @@ def test_multiblock_bit_exact_vs_reference(reference):
     text = (pathlib.Path("/root/reference/smallz4.h").read_bytes()
             + pathlib.Path("/root/reference/smallz4cat.c").read_bytes())
     pieces = []
-    for i in range(100):
-        pieces.append(rng.integers(0, 256, 2000, dtype=np.uint8).tobytes())
-        pieces.append(b"repetitive payload %d " % (i % 7) * 80)
-        pieces.append(text)
+    for i in range(110):
+        pieces.append(rng.integers(0, 256, 30000, dtype=np.uint8).tobytes())
+        pieces.append(b"repetitive payload %d " % (i % 7) * 40)
+        # rotate through distinct text slices so windows aren't saturated
+        # with whole-file duplicates (that is the reference's own quadratic
+        # pathology, covered by the slow-marked tests)
+        o = (i * 1913) % (len(text) - 8000)
+        pieces.append(text[o : o + 8000])
     data = b"".join(pieces)
     assert len(data) > fmt.MAX_BLOCK_SIZE
     ref9 = reference.compress(data, 9)
