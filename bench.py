@@ -85,10 +85,18 @@ def main() -> int:
     log(f"reference: size={ref_size} encode={ref_mbps:.2f} MB/s")
 
     from smallz4_tpu import native
+    from smallz4_tpu.parallel import host
 
-    engine = "native"
-    frame = None
-    mbps = 0.0
+    results = []  # (engine, mbps, size, frame)
+
+    # 1. host-parallel exact -9 (bit-identical stream class)
+    for bs, tag in ((1 << 20, "1MB"), (4 << 20, "4MB")):
+        t0 = time.time()
+        frame = host.compress(corpus, 9, block_size=bs)
+        mbps = len(corpus) / (time.time() - t0) / 1e6
+        results.append((f"host-parallel-exact9-{tag}blk", mbps, len(frame), frame))
+
+    # 2. TPU turbo pipeline
     try:
         import jax
         devs = jax.devices()
@@ -101,24 +109,25 @@ def main() -> int:
         t0 = time.time()
         frame = pipeline.compress(corpus, 9, max_candidates=K)
         mbps = len(corpus) / (time.time() - t0) / 1e6
-        engine = f"tpu-turbo-k{K}" if on_tpu else f"cpu-sim-turbo-k{K}"
-    except Exception as e:  # TPU path unavailable: report the native engine
-        log(f"tpu path unavailable ({type(e).__name__}: {e}); using native")
-        t0 = time.time()
-        frame = native.compress(corpus, 9)
-        mbps = len(corpus) / (time.time() - t0) / 1e6
-        engine = "native-exact"
+        name = f"tpu-turbo-k{K}" if on_tpu else f"cpu-sim-turbo-k{K}"
+        results.append((name, mbps, len(frame), frame))
+    except Exception as e:  # TPU path unavailable
+        log(f"tpu path unavailable ({type(e).__name__}: {e})")
 
-    ok = native.decompress(frame) == corpus
-    size = len(frame)
-    log(f"{engine}: encode {mbps:.2f} MB/s, size={size}, roundtrip={ok}")
-    if ref_size is not None:
-        log(f"size vs reference -9: {size - ref_size:+d} bytes "
-            f"({(size / ref_size - 1) * 100:+.3f}%)")
-    if not ok:
-        log("FATAL: round-trip failed")
+    best = None
+    for engine, mbps, size, frame in results:
+        ok = native.decompress(frame) == corpus
+        fits = ref_size is None or size <= ref_size * 1.0005
+        log(f"{engine}: {mbps:.2f} MB/s size={size} roundtrip={ok} "
+            f"size_ok={fits}"
+            + (f" ({(size / ref_size - 1) * 100:+.3f}% vs ref)" if ref_size else ""))
+        if ok and fits and (best is None or mbps > best[1]):
+            best = (engine, mbps, size)
+    if best is None:
+        log("FATAL: no configuration passed round-trip + size constraints")
         return 1
 
+    engine, mbps, size = best
     print(json.dumps({
         "metric": f"silesia_like_10MB_encode_level9_{engine}",
         "value": round(mbps, 3),

@@ -80,6 +80,8 @@ def _load():
         lib.tlz4_decompress.argtypes = [c_u8p, i64, c_u8p, i64, c_u8p, i64]
         lib.tlz4_match_block.restype = i64
         lib.tlz4_match_block.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, c_i32p, c_i32p]
+        lib.tlz4_match_block_ex.restype = i64
+        lib.tlz4_match_block_ex.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, i64, c_i32p, c_i32p]
         lib.tlz4_match_refine.restype = i64
         lib.tlz4_match_refine.argtypes = [c_u8p, i64, i64, i64, i64, i64, c_u8p, c_i32p, c_i32p]
         lib.tlz4_estimate_costs.restype = i64
@@ -253,6 +255,18 @@ def match_block(buf, base: int, bs: int, level: int, lookback: int = 0):
     if r < 0:
         _raise(r)
     return lens, dists
+
+
+def match_block_ex(buf, base: int, bs: int, level: int, lookback: int,
+                   cut_pos: int, lens: np.ndarray, dists: np.ndarray) -> None:
+    """Match search into caller-provided arrays, with an explicit boundary
+    chain-cut position (thread-pool friendly: no allocations)."""
+    lib = _load()
+    b = _u8(buf)
+    r = lib.tlz4_match_block_ex(_ptr(b), len(b), base, bs, level, lookback,
+                                cut_pos, _ptr32(lens), _ptr32(dists))
+    if r < 0:
+        _raise(r)
 
 
 def match_refine(buf, base: int, bs: int, lookback: int,
