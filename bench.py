@@ -105,12 +105,24 @@ def main() -> int:
         from smallz4_tpu.ops import pipeline
 
         K = int(os.environ.get("SMALLZ4_TPU_BENCH_K", "16"))
-        pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)  # warm/compile
         t0 = time.time()
-        frame = pipeline.compress(corpus, 9, max_candidates=K)
-        mbps = len(corpus) / (time.time() - t0) / 1e6
-        name = f"tpu-turbo-k{K}" if on_tpu else f"cpu-sim-turbo-k{K}"
-        results.append((name, mbps, len(frame), frame))
+        pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)  # warm/compile
+        warm_s = time.time() - t0
+        t0 = time.time()
+        pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)
+        probe_s = time.time() - t0
+        budget = float(os.environ.get("SMALLZ4_TPU_BENCH_BUDGET_S", "180"))
+        projected = probe_s * (len(corpus) / (1 << 20))
+        log(f"tpu probe: warm={warm_s:.1f}s 1MB={probe_s:.2f}s "
+            f"projected_full={projected:.0f}s (budget {budget:.0f}s)")
+        if projected > budget:
+            log("tpu path over budget; skipping full tpu measurement")
+        else:
+            t0 = time.time()
+            frame = pipeline.compress(corpus, 9, max_candidates=K)
+            mbps = len(corpus) / (time.time() - t0) / 1e6
+            name = f"tpu-turbo-k{K}" if on_tpu else f"cpu-sim-turbo-k{K}"
+            results.append((name, mbps, len(frame), frame))
     except Exception as e:  # TPU path unavailable
         log(f"tpu path unavailable ({type(e).__name__}: {e})")
 

@@ -206,8 +206,13 @@ def match_segments(
     ext_cap: int = 512,
 ):
     """Batched fixed-shape segment search: the production encode kernel.
-    Each row is one segment buffer [halo | 64 Ki positions | read-ahead];
-    returns (lens, dists, converged) of shape [B, SEG]."""
+    Each row is one segment buffer [halo | 64 Ki positions | read-ahead].
+
+    Returns compact host-transfer-friendly arrays of shape [B, SEG]:
+    lens uint16 (saturated at 65535 — a saturated lane is never marked
+    converged, so parity mode re-searches it), dists uint16, converged
+    bool.  Compact dtypes matter: the hybrid pipeline ships these to the
+    host DP stage for every block."""
     fn = functools.partial(
         _match_core,
         base=HALO,
@@ -215,6 +220,9 @@ def match_segments(
         max_candidates=max_candidates,
         ext_cap=ext_cap,
     )
-    return jax.vmap(lambda b, s, e, c: fn(b, s, e, cut_boundary=c))(
-        bufs, start_valid, end_valid, cut_boundary
-    )
+    lens, dists, conv = jax.vmap(
+        lambda b, s, e, c: fn(b, s, e, cut_boundary=c)
+    )(bufs, start_valid, end_valid, cut_boundary)
+    saturated = lens >= 65536
+    lens16 = jnp.minimum(lens, 65535).astype(jnp.uint16)
+    return lens16, dists.astype(jnp.uint16), conv & ~saturated

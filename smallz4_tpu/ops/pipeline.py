@@ -106,8 +106,8 @@ def compress(
         dists = np.empty(bs, np.int32)
         conv = np.ones(bs, bool)
         for group, (lens_d, dists_d, conv_d) in per_block[bi]:
-            lens_np = np.asarray(lens_d)
-            dists_np = np.asarray(dists_d)
+            lens_np = np.asarray(lens_d).astype(np.int32)
+            dists_np = np.asarray(dists_d).astype(np.int32)
             conv_np = np.asarray(conv_d)
             for r, s0 in enumerate(group):
                 w = min(SEG, vend - s0)
