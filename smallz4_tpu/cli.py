@@ -69,12 +69,27 @@ def main(argv: list[str] | None = None) -> int:
     legacy = False
     verbose = False
     dictionary_path: str | None = None
+    engine = "auto"         # framework extension: --engine=native|tpu|host
+    threads: int | None = None  # --threads=N (host-parallel engine)
+    block_size: int | None = None  # --block-size=N
 
     # hand-rolled scan supporting bundled flags like -f7 (smallz4.cpp:194-249)
     pos = 0
     positional: list[str] = []
     while pos < len(argv):
         arg = argv[pos]
+        if arg.startswith("--"):
+            key, _, val = arg[2:].partition("=")
+            if key == "engine" and val in ("auto", "native", "tpu", "host", "oracle"):
+                engine = val
+            elif key == "threads" and val.isdigit():
+                threads = int(val)
+            elif key == "block-size" and val.isdigit():
+                block_size = int(val)
+            else:
+                error("unknown flag")
+            pos += 1
+            continue
         if arg.startswith("-") and arg != "-" and not positional:
             for ch in arg[1:]:
                 if ch == "h":
@@ -135,14 +150,51 @@ def main(argv: list[str] | None = None) -> int:
     progress = Progress(verbose, total_size=total)
 
     from . import native
-    if native.available():
-        enc = native.Encoder(level=level, legacy=legacy, dictionary=dictionary)
+    if engine in ("tpu", "host", "oracle"):
+        enc = _BufferedEncoder(engine, level, legacy, dictionary, block_size,
+                               threads)
+    elif native.available():
+        enc = native.Encoder(level=level, legacy=legacy, dictionary=dictionary,
+                             block_size=block_size)
     else:
         enc = _OracleEncoder(level, legacy, dictionary)
 
     uio.pump(enc, src, dst, progress=progress)
     progress.summary()
     return 0
+
+
+class _BufferedEncoder:
+    """Whole-buffer engines (tpu / host-parallel / oracle) behind the
+    streaming pump interface."""
+
+    def __init__(self, engine, level, legacy, dictionary, block_size, threads):
+        self.engine, self.level, self.legacy = engine, level, legacy
+        self.dictionary, self.block_size, self.threads = dictionary, block_size, threads
+        self.buf = bytearray()
+
+    def write(self, chunk, final=False) -> bytes:
+        self.buf += chunk
+        if not final:
+            return b""
+        data = bytes(self.buf)
+        if self.engine == "tpu":
+            from .ops import pipeline
+            return pipeline.compress(data, self.level, legacy=self.legacy,
+                                     dictionary=self.dictionary,
+                                     block_size=self.block_size)
+        if self.engine == "host":
+            if self.legacy:
+                error("host-parallel engine supports the modern format only")
+            from .parallel import host
+            return host.compress(data, self.level,
+                                 block_size=self.block_size or 4 * 1024 * 1024,
+                                 dictionary=self.dictionary,
+                                 threads=self.threads)
+        from . import oracle
+        return oracle.compress(data, self.level, legacy=self.legacy,
+                               dictionary=self.dictionary,
+                               block_size=self.block_size)
 
 
 class _OracleEncoder:

@@ -104,3 +104,28 @@ def test_cat_rejects_second_file(tmp_path):
 def test_cat_corrupt_input():
     res = run_cli([], b"definitely not lz4", module="smallz4_tpu.cat_cli")
     assert res.returncode != 0 and b"invalid signature" in res.stderr
+
+
+def test_engine_flag_host_parallel(reference, corpora):
+    data = corpora["text"] * 8
+    res = run_cli(["--engine=host", "--threads=2"], data)
+    assert res.returncode == 0, res.stderr
+    assert res.stdout == reference.compress(data, 9)
+
+
+def test_engine_flag_oracle(reference, corpora):
+    data = corpora["hello"]
+    res = run_cli(["--engine=oracle", "-6"], data)
+    assert res.stdout == reference.compress(data, 6)
+
+
+def test_block_size_flag(corpora):
+    data = corpora["struct"]
+    res = run_cli(["--engine=host", "--block-size=131072"], data)
+    back = run_cli([], res.stdout, module="smallz4_tpu.cat_cli")
+    assert back.stdout == data
+
+
+def test_unknown_long_flag():
+    res = run_cli(["--bogus"], b"x")
+    assert res.returncode != 0 and b"unknown flag" in res.stderr

@@ -70,3 +70,16 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_dictionary_broadcast():
+    # preset dictionary replicated to all shards (BASELINE config[3])
+    data = _corpus(2 * 131072)
+    dictionary = data[:40000]
+    mesh = sharding.make_mesh(4)
+    frame = sharding.compress_sharded(data, mesh, block_size=131072,
+                                      max_candidates=8,
+                                      dictionary=dictionary, parity=True)
+    want = native.compress(data, 9, block_size=131072, dictionary=dictionary)
+    assert frame == want
+    assert native.decompress(frame, dictionary=dictionary) == data
