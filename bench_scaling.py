@@ -1,0 +1,84 @@
+"""Scaling-efficiency report for the sharded encode step (north-star
+reporting: GB/s at 1..N devices and parallel efficiency).
+
+Runs the device-mesh match step on 1, 2, 4, ... devices over the same
+total work and reports throughput plus efficiency vs the 1-device run.
+On a multi-chip TPU slice this measures ICI scaling; on a single-chip or
+CPU environment it exercises the virtual mesh (host-core scaling), which
+validates the collective program rather than the fabric.
+
+Prints one JSON line per mesh size (stdout); details on stderr.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+
+# default: the 8-device virtual CPU mesh (validates the collective
+# program); set SMALLZ4_TPU_SCALING_REAL=1 to measure a real multi-chip
+# slice over ICI.  The config update must precede any backend use.
+if not os.environ.get("SMALLZ4_TPU_SCALING_REAL"):
+    if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from smallz4_tpu.parallel import sharding  # noqa: E402
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    devs = jax.devices()
+    log(f"devices: {devs}")
+    if devs and devs[0].platform == "cpu":
+        log("NOTE: virtual CPU mesh — efficiency here reflects host-core "
+            "oversubscription, not the ICI fabric; it validates the "
+            "collective program, not multi-chip scaling")
+    block_size = int(os.environ.get("SMALLZ4_TPU_SCALING_BLOCK", str(1 << 20)))
+    per_dev_blocks = 2
+    rng = np.random.default_rng(0)
+    maxdev = len(devs)
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= maxdev]
+    base_mbps = None
+    for nd in sizes:
+        batch = nd * per_dev_blocks
+        blocks = rng.integers(0, 256, (batch, block_size), dtype=np.uint8)
+        blocks[:, : block_size // 2] = 65  # compressible half
+        lengths = np.full(batch, block_size, np.int32)
+        mesh = sharding.make_mesh(nd)
+        step = sharding.sharded_match_step(mesh, block_size, max_candidates=8)
+        args = (jnp.asarray(blocks), jnp.asarray(lengths), jnp.int32(0))
+        jax.device_get(step(*args))  # compile + warm
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            out = step(*args)
+        jax.device_get(out)
+        dt = (time.time() - t0) / reps
+        mbps = batch * block_size / dt / 1e6
+        if base_mbps is None:
+            base_mbps = mbps / nd
+        eff = mbps / (base_mbps * nd)
+        log(f"n={nd}: {dt*1000:.0f} ms for {batch} blocks -> {mbps:.1f} MB/s "
+            f"(efficiency {eff*100:.0f}%)")
+        print(json.dumps({
+            "metric": f"sharded_match_step_{nd}dev",
+            "value": round(mbps, 2),
+            "unit": "MB/s",
+            "vs_baseline": round(eff, 3),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
