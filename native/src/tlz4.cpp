@@ -510,9 +510,10 @@ int64_t tlz4_enc_write(tlz4_enc *e, const uint8_t *in, int64_t n, int final,
 struct tlz4_dec {
   std::vector<uint8_t> in;      /* unconsumed compressed bytes */
   std::vector<uint8_t> hist;    /* up to 64 Ki of history (dict-primed) */
-  enum { HDR, BLOCKS, DONE } phase = HDR;
+  enum { HDR, SKIP, BLOCKS, DONE } phase = HDR;
   bool legacy = false;
   bool block_checksum = false, content_checksum = false;
+  int64_t skip_remaining = 0;   /* bytes left of a skippable frame */
 };
 
 tlz4_dec *tlz4_dec_new(const uint8_t *dict, int64_t dict_n) {
@@ -546,31 +547,68 @@ int64_t tlz4_dec_write(tlz4_dec *d, const uint8_t *in, int64_t n, int final,
   size_t ip = 0;
   const std::vector<uint8_t> &b = d->in;
 
-  if (d->phase == tlz4_dec::HDR) {
-    if (b.size() < 4) {
+  if (d->phase == tlz4_dec::SKIP) {
+    int64_t take = std::min<int64_t>(d->skip_remaining, int64_t(b.size()));
+    ip += size_t(take);
+    d->skip_remaining -= take;
+    if (d->skip_remaining > 0) {
       if (final) return TLZ4_E_DATA;
+      d->in.erase(d->in.begin(), d->in.begin() + ip);
       return 0;
     }
-    if (!std::memcmp(b.data(), kMagicLegacy, 4)) {
-      d->legacy = true;
-      ip = 4;
-    } else if (!std::memcmp(b.data(), kMagicModern, 4)) {
-      if (b.size() < 7) {
+    d->phase = tlz4_dec::HDR;
+  }
+  if (d->phase == tlz4_dec::HDR) {
+    /* skippable frames (LZ4 spec 0x184D2A50..5F + u32 size): skipped —
+     * a capability superset of the reference (smallz4cat.c:29-30) */
+    while (b.size() - ip >= 8) {
+      uint32_t magic = load32(b.data() + ip);
+      if ((magic & 0xFFFFFFF0u) != 0x184D2A50u) break;
+      int64_t sk = load32(b.data() + ip + 4);
+      ip += 8;
+      int64_t take = std::min<int64_t>(sk, int64_t(b.size() - ip));
+      ip += size_t(take);
+      if (take < sk) {
+        d->skip_remaining = sk - take;
+        d->phase = tlz4_dec::SKIP;
         if (final) return TLZ4_E_DATA;
+        d->in.erase(d->in.begin(), d->in.begin() + ip);
         return 0;
       }
-      uint8_t flags = b[4];
+    }
+    if (b.size() - ip < 4) {
+      if (final) return TLZ4_E_DATA;
+      d->in.erase(d->in.begin(), d->in.begin() + ip);
+      return 0;
+    }
+    if ((load32(b.data() + ip) & 0xFFFFFFF0u) == 0x184D2A50u) {
+      /* skippable magic but its size word hasn't arrived yet */
+      if (final) return TLZ4_E_DATA;
+      d->in.erase(d->in.begin(), d->in.begin() + ip);
+      return 0;
+    }
+    if (!std::memcmp(b.data() + ip, kMagicLegacy, 4)) {
+      d->legacy = true;
+      ip += 4;
+    } else if (!std::memcmp(b.data() + ip, kMagicModern, 4)) {
+      if (b.size() - ip < 7) {
+        if (final) return TLZ4_E_DATA;
+        d->in.erase(d->in.begin(), d->in.begin() + ip);
+        return 0;
+      }
+      uint8_t flags = b[ip + 4];
       if ((flags >> 6) != 1) return TLZ4_E_VERSION;
       d->block_checksum = flags & 16;
       d->content_checksum = flags & 4;
       size_t hdr = 7;
       if (flags & 8) hdr += 8;   /* content size: skipped */
       if (flags & 1) hdr += 4;   /* dictionary id: skipped */
-      if (b.size() < hdr) {
+      if (b.size() - ip < hdr) {
         if (final) return TLZ4_E_DATA;
+        d->in.erase(d->in.begin(), d->in.begin() + ip);
         return 0;
       }
-      ip = hdr;
+      ip += hdr;
     } else {
       return TLZ4_E_MAGIC;
     }

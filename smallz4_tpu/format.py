@@ -58,6 +58,11 @@ MAGIC_MODERN = 0x184D2204
 MAGIC_LEGACY = 0x184C2102
 MAGIC_MODERN_BYTES = struct.pack("<I", MAGIC_MODERN)   # 04 22 4D 18
 MAGIC_LEGACY_BYTES = struct.pack("<I", MAGIC_LEGACY)   # 02 21 4C 18
+# skippable frames (LZ4 frame spec): 0x184D2A50..0x184D2A5F + u32 size.
+# The reference decoder rejects these (doc: smallz4cat.c:29-30); we skip
+# them per spec — a strict capability superset.
+MAGIC_SKIPPABLE_BASE = 0x184D2A50
+MAGIC_SKIPPABLE_MASK = 0xFFFFFFF0
 
 # the exact 7-byte modern frame header the reference emits (smallz4.h:486-495):
 # magic + FLG(0x40: version 1, dependent blocks, no checksums, no dict id)

@@ -445,7 +445,21 @@ def decompress(
 
     Error behavior parity with the reference decoder: invalid signature,
     unsupported version, zero offset and truncated input all raise
-    ``fmt.FormatError`` (smallz4cat.c:123,141,267,91)."""
+    ``fmt.FormatError`` (smallz4cat.c:123,141,267,91).  Leading skippable
+    frames are skipped per the LZ4 frame spec (capability superset: the
+    reference rejects them, smallz4cat.c:29-30)."""
+    import struct as _struct
+
+    skipped = 0
+    while len(data) >= 8:
+        magic = _struct.unpack_from("<I", data, 0)[0]
+        if (magic & fmt.MAGIC_SKIPPABLE_MASK) != fmt.MAGIC_SKIPPABLE_BASE:
+            break
+        size = _struct.unpack_from("<I", data, 4)[0]
+        if 8 + size > len(data):
+            raise fmt.FormatError("out of data")
+        data = data[8 + size:]
+        skipped += 1
     info = fmt.parse_frame_header(data)
     pos = info.header_size
     out = bytearray()

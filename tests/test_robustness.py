@@ -78,3 +78,22 @@ def test_checkpoint_parameter_mismatch(tmp_path, corpora):
     CheckpointedCompressor(tmp_path / "ck", level=9).compress(corpora["tiny"])
     with pytest.raises(ValueError):
         CheckpointedCompressor(tmp_path / "ck", level=5)
+
+
+def test_skippable_frames(corpora):
+    """LZ4-spec skippable frames are consumed before the real frame — a
+    capability superset of the reference (smallz4cat.c:29-30)."""
+    import struct
+
+    data = corpora["struct"]
+    frame = native.compress(data, 9)
+    combo = (struct.pack("<II", 0x184D2A50, 13) + b"metadata-here"
+             + struct.pack("<II", 0x184D2A5F, 0) + frame)
+    assert native.decompress(combo) == data
+    assert oracle.decompress(combo) == data
+    dec = native.Decoder()
+    parts = [dec.write(combo[i : i + 7]) for i in range(0, len(combo), 7)]
+    parts.append(dec.write(b"", final=True))
+    assert b"".join(parts) == data
+    with pytest.raises(fmt.FormatError):
+        native.decompress(combo[:10])
