@@ -118,11 +118,16 @@ def main() -> int:
         if projected > budget:
             log("tpu path over budget; skipping full tpu measurement")
         else:
+            tag = "tpu" if on_tpu else "cpu-sim"
             t0 = time.time()
             frame = pipeline.compress(corpus, 9, max_candidates=K)
             mbps = len(corpus) / (time.time() - t0) / 1e6
-            name = f"tpu-turbo-k{K}" if on_tpu else f"cpu-sim-turbo-k{K}"
-            results.append((name, mbps, len(frame), frame))
+            results.append((f"{tag}-turbo-k{K}", mbps, len(frame), frame))
+            # parity mode: exact -9 stream (device search + host refine)
+            t0 = time.time()
+            frame = pipeline.compress(corpus, 9, max_candidates=K, parity=True)
+            mbps = len(corpus) / (time.time() - t0) / 1e6
+            results.append((f"{tag}-parity-k{K}", mbps, len(frame), frame))
     except Exception as e:  # TPU path unavailable
         log(f"tpu path unavailable ({type(e).__name__}: {e})")
 

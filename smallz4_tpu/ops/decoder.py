@@ -73,6 +73,15 @@ def expand_block(
     return pool[src]
 
 
+@jax.jit
+def _update_hist(hist: jnp.ndarray, out: jnp.ndarray, out_len) -> jnp.ndarray:
+    """Right-aligned 64 Ki history window advanced by ``out_len`` bytes of
+    ``out`` — device-resident so chained block decodes never round-trip
+    through the host."""
+    cat = jnp.concatenate([hist, out])
+    return jax.lax.dynamic_slice(cat, (out_len,), (HIST_CAP,))
+
+
 class TpuBlockDecoder:
     """Pads host sequence tables to static shapes and drives expand_block.
 
@@ -90,7 +99,9 @@ class TpuBlockDecoder:
             c *= 2
         return c
 
-    def decode(self, payload: bytes, hist: bytes) -> bytes:
+    def decode_dev(self, payload: bytes, hist_dev: jnp.ndarray):
+        """Dispatch one block expansion; history and output stay on device.
+        Returns (out_dev[out_bucket], out_len)."""
         from .. import native
 
         lit_len, match_len, match_off, lit_src = native.parse_sequences(payload)
@@ -102,10 +113,6 @@ class TpuBlockDecoder:
         sc = self._bucket(len(lit_len), 256)
         pay = np.zeros(pc, np.uint8)
         pay[: len(payload)] = np.frombuffer(payload, np.uint8)
-        h = np.zeros(HIST_CAP, np.uint8)
-        hl = min(len(hist), HIST_CAP)
-        if hl:
-            h[HIST_CAP - hl :] = np.frombuffer(hist[-hl:], np.uint8)
 
         def pad(a, fill):
             out = np.full(sc, fill, np.int32)
@@ -113,9 +120,21 @@ class TpuBlockDecoder:
             return out
 
         res = expand_block(
-            jnp.asarray(pay), jnp.asarray(h),
+            jnp.asarray(pay), hist_dev,
             jnp.asarray(pad(lit_len, 0)), jnp.asarray(pad(match_len, 0)),
             jnp.asarray(pad(match_off, 1)), jnp.asarray(pad(lit_src, 0)),
             out_cap=oc,
         )
+        return res, out_len
+
+    @staticmethod
+    def hist_device(hist: bytes) -> jnp.ndarray:
+        h = np.zeros(HIST_CAP, np.uint8)
+        hl = min(len(hist), HIST_CAP)
+        if hl:
+            h[HIST_CAP - hl :] = np.frombuffer(hist[-hl:], np.uint8)
+        return jnp.asarray(h)
+
+    def decode(self, payload: bytes, hist: bytes) -> bytes:
+        res, out_len = self.decode_dev(payload, self.hist_device(hist))
         return np.asarray(res)[:out_len].tobytes()

@@ -145,14 +145,20 @@ def compress(
 
 
 def decompress(data, dictionary=None) -> bytes:
-    """Decode a frame with the device expansion kernel."""
+    """Decode a frame with the device expansion kernel.
+
+    The sequence parse runs on the host up front; block expansions chain
+    through a device-resident 64 KB history window, so consecutive blocks
+    dispatch without host round-trips and materialize once at the end."""
+    import jax.numpy as jnp
+
     data = bytes(data)
     info = fmt.parse_frame_header(data)
     pos = info.header_size
     block_cap = fmt.MAX_BLOCK_SIZE_LEGACY if info.legacy else fmt.MAX_BLOCK_SIZE
     dec = decoder.TpuBlockDecoder(out_cap=block_cap)
-    out = bytearray()
-    hist = bytes(dictionary)[-65536:] if dictionary else b""
+    hist_dev = dec.hist_device(bytes(dictionary)[-65536:] if dictionary else b"")
+    pending = []  # (device array | bytes, out_len)
     while True:
         if pos + 4 > len(data):
             if info.legacy:
@@ -167,13 +173,25 @@ def decompress(data, dictionary=None) -> bytes:
         payload = data[pos : pos + size]
         pos += size
         if is_compressed:
-            block = dec.decode(payload, hist)
+            out_dev, out_len = dec.decode_dev(payload, hist_dev)
+            pending.append((out_dev, out_len))
+            hist_dev = decoder._update_hist(hist_dev, out_dev, jnp.int32(out_len))
         else:
-            block = payload
-        out += block
-        hist = (hist + block)[-65536:]
+            pending.append((payload, size))
+            take = min(size, 65536)
+            stored = np.zeros(65536, np.uint8)  # left-aligned tail
+            stored[:take] = np.frombuffer(payload[-take:], np.uint8)
+            hist_dev = decoder._update_hist(hist_dev, jnp.asarray(stored),
+                                            jnp.int32(take))
+            out_len = size
         if info.has_block_checksum:
             pos += 4
-        if info.legacy and is_compressed and len(block) < fmt.MAX_BLOCK_SIZE_LEGACY:
+        if info.legacy and is_compressed and out_len < fmt.MAX_BLOCK_SIZE_LEGACY:
             break
+    out = bytearray()
+    for item, out_len in pending:
+        if isinstance(item, bytes):
+            out += item
+        else:
+            out += np.asarray(item)[:out_len].tobytes()
     return bytes(out)

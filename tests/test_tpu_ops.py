@@ -148,3 +148,15 @@ def test_pipeline_turbo_size_close_to_optimal(corpora):
     # parity mode (tested above) recovers the exact stream
     assert len(turbo) <= len(exact) * 1.04
     assert len(turbo) < len(data) // 2
+
+
+def test_tpu_decode_multiblock_mixed(corpora):
+    # multi-block frame with stored and compressed blocks interleaved and
+    # cross-block matches: exercises the device-resident history chain
+    rng = np.random.default_rng(13)
+    data = (rng.integers(0, 256, 140000, dtype=np.uint8).tobytes()  # stored
+            + corpora["text"] * 12                                   # compressed
+            + rng.integers(0, 256, 140000, dtype=np.uint8).tobytes()
+            + corpora["text"][:30000])
+    frame = native.compress(data, 9, block_size=131072)
+    assert pipeline.decompress(frame) == data
