@@ -123,11 +123,18 @@ def main() -> int:
             frame = pipeline.compress(corpus, 9, max_candidates=K)
             mbps = len(corpus) / (time.time() - t0) / 1e6
             results.append((f"{tag}-turbo-k{K}", mbps, len(frame), frame))
-            # parity mode: exact -9 stream (device search + host refine)
+            # parity mode: exact -9 stream (device search + host refine),
+            # separately gated — the refine share is data-dependent
             t0 = time.time()
-            frame = pipeline.compress(corpus, 9, max_candidates=K, parity=True)
-            mbps = len(corpus) / (time.time() - t0) / 1e6
-            results.append((f"{tag}-parity-k{K}", mbps, len(frame), frame))
+            pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K, parity=True)
+            projected = (time.time() - t0) * (len(corpus) / (1 << 20))
+            if projected > budget:
+                log(f"tpu parity over budget ({projected:.0f}s); skipped")
+            else:
+                t0 = time.time()
+                frame = pipeline.compress(corpus, 9, max_candidates=K, parity=True)
+                mbps = len(corpus) / (time.time() - t0) / 1e6
+                results.append((f"{tag}-parity-k{K}", mbps, len(frame), frame))
     except Exception as e:  # TPU path unavailable
         log(f"tpu path unavailable ({type(e).__name__}: {e})")
 

@@ -65,9 +65,26 @@ def compress(
     d = len(dict_tail)
     blocks = _blocks(n, block_size)
 
-    # phase 1 — dispatch every segment group asynchronously: the device
-    # works ahead while the host runs DP/emit on earlier blocks
-    dispatches = []  # (block_idx, group segment starts, device results)
+    # Blocks are processed in windows: within a window every segment group
+    # is dispatched up front (the device works ahead while the host runs
+    # DP/emit on earlier blocks); the window bound keeps in-flight device
+    # memory constant for arbitrarily large inputs.
+    WINDOW = 8  # blocks (~32 MB of input at the default block size)
+    for w0 in range(0, len(blocks), WINDOW):
+        _process_block_window(
+            out, data, vdata, d, blocks[w0 : w0 + WINDOW], legacy,
+            max_candidates, parity, native,
+        )
+    out += fmt.build_end_mark(legacy)
+    return bytes(out)
+
+
+def _process_block_window(out, data, vdata, d, blocks, legacy,
+                          max_candidates, parity, native):
+    SEG, SEG_BUF, TAIL, B = (match_finder.SEG, match_finder.SEG_BUF,
+                             match_finder.TAIL, 8)
+    # phase 1 — dispatch every segment group in the window
+    per_block: dict[int, list] = {}
     for bi, (start, end) in enumerate(blocks):
         vstart, vend = start + d, end + d
         block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
@@ -91,13 +108,9 @@ def compress(
                 jnp.asarray(bufs), jnp.asarray(sv), jnp.asarray(ev),
                 jnp.asarray(cf), max_candidates=max_candidates,
             )
-            dispatches.append((bi, group, res))
+            per_block.setdefault(bi, []).append((group, res))
 
     # phase 2 — collect in frame order and finish on the host
-    per_block = {}
-    for bi, group, res in dispatches:
-        per_block.setdefault(bi, []).append((group, res))
-
     for bi, (start, end) in enumerate(blocks):
         bs = end - start
         vstart, vend = start + d, end + d
@@ -140,8 +153,6 @@ def compress(
         else:
             out += fmt.build_block_header(bs, stored=True, legacy=legacy)
             out += data[start:end]
-    out += fmt.build_end_mark(legacy)
-    return bytes(out)
 
 
 def decompress(data, dictionary=None) -> bytes:
@@ -152,13 +163,33 @@ def decompress(data, dictionary=None) -> bytes:
     dispatch without host round-trips and materialize once at the end."""
     import jax.numpy as jnp
 
+    import struct
+
     data = bytes(data)
+    # leading skippable frames (LZ4 spec; capability superset of the
+    # reference — see format.MAGIC_SKIPPABLE_BASE)
+    while len(data) >= 8:
+        magic = struct.unpack_from("<I", data, 0)[0]
+        if (magic & fmt.MAGIC_SKIPPABLE_MASK) != fmt.MAGIC_SKIPPABLE_BASE:
+            break
+        size = struct.unpack_from("<I", data, 4)[0]
+        if 8 + size > len(data):
+            raise fmt.FormatError("out of data")
+        data = data[8 + size:]
     info = fmt.parse_frame_header(data)
     pos = info.header_size
     block_cap = fmt.MAX_BLOCK_SIZE_LEGACY if info.legacy else fmt.MAX_BLOCK_SIZE
     dec = decoder.TpuBlockDecoder(out_cap=block_cap)
     hist_dev = dec.hist_device(bytes(dictionary)[-65536:] if dictionary else b"")
-    pending = []  # (device array | bytes, out_len)
+    out = bytearray()
+    pending = []  # (device array | bytes, out_len): bounded dispatch window
+
+    def materialize(limit: int) -> None:
+        while len(pending) > limit:
+            item, ln = pending.pop(0)
+            out.extend(item if isinstance(item, bytes)
+                       else np.asarray(item)[:ln].tobytes())
+
     while True:
         if pos + 4 > len(data):
             if info.legacy:
@@ -186,12 +217,8 @@ def decompress(data, dictionary=None) -> bytes:
             out_len = size
         if info.has_block_checksum:
             pos += 4
+        materialize(4)  # keep a small device pipeline in flight
         if info.legacy and is_compressed and out_len < fmt.MAX_BLOCK_SIZE_LEGACY:
             break
-    out = bytearray()
-    for item, out_len in pending:
-        if isinstance(item, bytes):
-            out += item
-        else:
-            out += np.asarray(item)[:out_len].tobytes()
+    materialize(0)
     return bytes(out)

@@ -91,6 +91,8 @@ def test_skippable_frames(corpora):
              + struct.pack("<II", 0x184D2A5F, 0) + frame)
     assert native.decompress(combo) == data
     assert oracle.decompress(combo) == data
+    from smallz4_tpu.ops import pipeline
+    assert pipeline.decompress(combo) == data
     dec = native.Decoder()
     parts = [dec.write(combo[i : i + 7]) for i in range(0, len(combo), 7)]
     parts.append(dec.write(b"", final=True))
