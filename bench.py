@@ -79,6 +79,83 @@ def reference_numbers(corpus: bytes):
     return len(res.stdout), len(corpus) / dt / 1e6
 
 
+_TPU_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) if "__file__" in dir() else ".")
+sys.path.insert(0, sys.argv[3])
+corpus = open(sys.argv[1], "rb").read()
+outdir = sys.argv[2]
+import jax
+devs = jax.devices()
+on_tpu = any("tpu" in str(d).lower() for d in devs)
+print(f"jax devices: {devs} (tpu={on_tpu})", file=sys.stderr, flush=True)
+from smallz4_tpu.ops import pipeline
+K = int(os.environ.get("SMALLZ4_TPU_BENCH_K", "16"))
+budget = float(os.environ.get("SMALLZ4_TPU_BENCH_BUDGET_S", "180"))
+tag = "tpu" if on_tpu else "cpu-sim"
+report = []
+t0 = time.time()
+pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)  # warm/compile
+warm = time.time() - t0
+t0 = time.time()
+pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)
+probe = time.time() - t0
+projected = probe * (len(corpus) / (1 << 20))
+print(f"tpu probe: warm={warm:.1f}s 1MB={probe:.2f}s projected={projected:.0f}s",
+      file=sys.stderr, flush=True)
+if projected <= budget:
+    t0 = time.time()
+    frame = pipeline.compress(corpus, 9, max_candidates=K)
+    mbps = len(corpus) / (time.time() - t0) / 1e6
+    p = os.path.join(outdir, "turbo.lz4"); open(p, "wb").write(frame)
+    report.append({"name": f"{tag}-turbo-k{K}", "mbps": mbps, "path": p})
+    t0 = time.time()
+    pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K, parity=True)
+    if (time.time() - t0) * (len(corpus) / (1 << 20)) <= budget:
+        t0 = time.time()
+        frame = pipeline.compress(corpus, 9, max_candidates=K, parity=True)
+        mbps = len(corpus) / (time.time() - t0) / 1e6
+        p = os.path.join(outdir, "parity.lz4"); open(p, "wb").write(frame)
+        report.append({"name": f"{tag}-parity-k{K}", "mbps": mbps, "path": p})
+print(json.dumps(report))
+"""
+
+
+def _tpu_phase_subprocess(corpus: bytes):
+    """Run the TPU measurements in a killable subprocess.
+    Returns [(name, mbps, size, frame_bytes)]."""
+    import tempfile
+
+    wall = float(os.environ.get("SMALLZ4_TPU_BENCH_WALL_S", "900"))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = []
+    with tempfile.TemporaryDirectory() as td:
+        cpath = os.path.join(td, "corpus.bin")
+        pathlib.Path(cpath).write_bytes(corpus)
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", _TPU_CHILD, cpath, td, repo],
+                capture_output=True, text=True, timeout=wall,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"tpu phase exceeded {wall:.0f}s wall clock; skipped")
+            return out
+        for line in res.stderr.splitlines()[-8:]:
+            log(f"[tpu] {line}")
+        if res.returncode != 0:
+            log(f"tpu phase failed (rc={res.returncode})")
+            return out
+        try:
+            report = json.loads(res.stdout.strip().splitlines()[-1])
+        except Exception:
+            log("tpu phase produced no report")
+            return out
+        for item in report:
+            frame = pathlib.Path(item["path"]).read_bytes()
+            out.append((item["name"], item["mbps"], len(frame), frame))
+    return out
+
+
 def main() -> int:
     corpus = make_corpus()
     ref_size, ref_mbps = reference_numbers(corpus)
@@ -96,47 +173,10 @@ def main() -> int:
         mbps = len(corpus) / (time.time() - t0) / 1e6
         results.append((f"host-parallel-exact9-{tag}blk", mbps, len(frame), frame))
 
-    # 2. TPU turbo pipeline
-    try:
-        import jax
-        devs = jax.devices()
-        on_tpu = any("tpu" in str(d).lower() for d in devs)
-        log(f"jax devices: {devs} (tpu={on_tpu})")
-        from smallz4_tpu.ops import pipeline
-
-        K = int(os.environ.get("SMALLZ4_TPU_BENCH_K", "16"))
-        t0 = time.time()
-        pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)  # warm/compile
-        warm_s = time.time() - t0
-        t0 = time.time()
-        pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K)
-        probe_s = time.time() - t0
-        budget = float(os.environ.get("SMALLZ4_TPU_BENCH_BUDGET_S", "180"))
-        projected = probe_s * (len(corpus) / (1 << 20))
-        log(f"tpu probe: warm={warm_s:.1f}s 1MB={probe_s:.2f}s "
-            f"projected_full={projected:.0f}s (budget {budget:.0f}s)")
-        if projected > budget:
-            log("tpu path over budget; skipping full tpu measurement")
-        else:
-            tag = "tpu" if on_tpu else "cpu-sim"
-            t0 = time.time()
-            frame = pipeline.compress(corpus, 9, max_candidates=K)
-            mbps = len(corpus) / (time.time() - t0) / 1e6
-            results.append((f"{tag}-turbo-k{K}", mbps, len(frame), frame))
-            # parity mode: exact -9 stream (device search + host refine),
-            # separately gated — the refine share is data-dependent
-            t0 = time.time()
-            pipeline.compress(corpus[: 1 << 20], 9, max_candidates=K, parity=True)
-            projected = (time.time() - t0) * (len(corpus) / (1 << 20))
-            if projected > budget:
-                log(f"tpu parity over budget ({projected:.0f}s); skipped")
-            else:
-                t0 = time.time()
-                frame = pipeline.compress(corpus, 9, max_candidates=K, parity=True)
-                mbps = len(corpus) / (time.time() - t0) / 1e6
-                results.append((f"{tag}-parity-k{K}", mbps, len(frame), frame))
-    except Exception as e:  # TPU path unavailable
-        log(f"tpu path unavailable ({type(e).__name__}: {e})")
+    # 2. TPU pipeline, in a killable subprocess: accelerator-side compiles
+    # can queue for minutes in shared environments, and a hung probe must
+    # never hang the benchmark itself.
+    results.extend(_tpu_phase_subprocess(corpus))
 
     best = None
     for engine, mbps, size, frame in results:
