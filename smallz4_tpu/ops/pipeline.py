@@ -110,30 +110,14 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
             )
             per_block.setdefault(bi, []).append((group, res))
 
-    # phase 2 — collect in frame order and finish on the host
-    for bi, (start, end) in enumerate(blocks):
+    # phase 2 — collect (device sync, main thread) and finish each block's
+    # refine/DP/emit in a thread pool (the native runtime releases the GIL)
+    import concurrent.futures as cf
+
+    def finish(bi, start, end, lens, dists, conv):
         bs = end - start
         vstart, vend = start + d, end + d
         block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
-        lens = np.empty(bs, np.int32)
-        dists = np.empty(bs, np.int32)
-        conv = np.ones(bs, bool)
-        for group, (lens_d, dists_d, conv_d) in per_block[bi]:
-            lens_np = np.asarray(lens_d).astype(np.int32)
-            dists_np = np.asarray(dists_d).astype(np.int32)
-            conv_np = np.asarray(conv_d)
-            for r, s0 in enumerate(group):
-                w = min(SEG, vend - s0)
-                o = s0 - vstart
-                lens[o : o + w] = lens_np[r, :w]
-                dists[o : o + w] = dists_np[r, :w]
-                conv[o : o + w] = conv_np[r, :w]
-        # block-tail rule: the last 11 positions are literals
-        tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
-        lens[bs - tail :] = 1
-        dists[bs - tail :] = 0
-        conv[bs - tail :] = True
-
         if parity:
             mask = ~conv
             if mask.any():
@@ -148,11 +132,37 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
         native.estimate_costs(lens, dists)
         payload = native.emit_block(data[start:end], lens, dists)
         if len(payload) < bs or legacy:
-            out += fmt.build_block_header(len(payload), stored=False, legacy=legacy)
+            return payload, False
+        return data[start:end], True
+
+    jobs = []
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        for bi, (start, end) in enumerate(blocks):
+            bs = end - start
+            vstart, vend = start + d, end + d
+            lens = np.empty(bs, np.int32)
+            dists = np.empty(bs, np.int32)
+            conv = np.ones(bs, bool)
+            for group, (lens_d, dists_d, conv_d) in per_block[bi]:
+                lens_np = np.asarray(lens_d).astype(np.int32)
+                dists_np = np.asarray(dists_d).astype(np.int32)
+                conv_np = np.asarray(conv_d)
+                for r, s0 in enumerate(group):
+                    w = min(SEG, vend - s0)
+                    o = s0 - vstart
+                    lens[o : o + w] = lens_np[r, :w]
+                    dists[o : o + w] = dists_np[r, :w]
+                    conv[o : o + w] = conv_np[r, :w]
+            # block-tail rule: the last 11 positions are literals
+            tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
+            lens[bs - tail :] = 1
+            dists[bs - tail :] = 0
+            conv[bs - tail :] = True
+            jobs.append(pool.submit(finish, bi, start, end, lens, dists, conv))
+        for (start, end), job in zip(blocks, jobs):
+            payload, stored = job.result()  # frame order preserved
+            out += fmt.build_block_header(len(payload), stored, legacy)
             out += payload
-        else:
-            out += fmt.build_block_header(bs, stored=True, legacy=legacy)
-            out += data[start:end]
 
 
 def decompress(data, dictionary=None) -> bytes:
