@@ -29,6 +29,11 @@ extern "C" {
 #define TLZ4_E_VERSION    (-4) /* only LZ4 file format version 1 supported */
 #define TLZ4_E_OFFSET     (-5) /* invalid offset */
 #define TLZ4_E_DATA       (-6) /* out of data / truncated stream */
+#define TLZ4_E_CHECKSUM   (-7) /* checksum mismatch (verifying decoder) */
+
+/* frame feature flags for tlz4_enc_new2 */
+#define TLZ4_F_CONTENT_CHECKSUM 1
+#define TLZ4_F_BLOCK_CHECKSUM   2
 
 /* ---------------- streaming encoder ---------------- */
 
@@ -42,6 +47,13 @@ typedef struct tlz4_enc tlz4_enc;
 tlz4_enc *tlz4_enc_new(int level, int legacy,
                        const uint8_t *dict, int64_t dict_n,
                        int64_t block_size);
+/* As tlz4_enc_new plus frame feature flags (TLZ4_F_*): spec-complete
+ * content/block checksums with a real xxHash32 header byte — a capability
+ * superset of the reference, whose streams stay byte-identical when
+ * flags == 0. */
+tlz4_enc *tlz4_enc_new2(int level, int legacy,
+                        const uint8_t *dict, int64_t dict_n,
+                        int64_t block_size, int flags);
 void tlz4_enc_free(tlz4_enc *);
 
 /* Feed input (n may be 0); set final!=0 on the last call.  Compressed bytes
@@ -60,6 +72,10 @@ int64_t tlz4_enc_bound(const tlz4_enc *, int64_t n);
 typedef struct tlz4_dec tlz4_dec;
 
 tlz4_dec *tlz4_dec_new(const uint8_t *dict, int64_t dict_n);
+/* As tlz4_dec_new; verify != 0 checks block/content checksums when the
+ * frame carries them (TLZ4_E_CHECKSUM on mismatch) instead of skipping
+ * them like the reference (smallz4cat.c:345-356). */
+tlz4_dec *tlz4_dec_new2(const uint8_t *dict, int64_t dict_n, int verify);
 void tlz4_dec_free(tlz4_dec *);
 
 /* Feed compressed bytes; decoded bytes of every block completed by this
@@ -140,6 +156,8 @@ int64_t tlz4_parse_sequences(const uint8_t *payload, int64_t n,
 int64_t tlz4_decode_block(const uint8_t *payload, int64_t n,
                           const uint8_t *hist, int64_t hist_n,
                           uint8_t *out, int64_t cap);
+
+uint32_t tlz4_xxh32(const uint8_t *data, int64_t n, uint32_t seed);
 
 const char *tlz4_version(void);
 

@@ -341,6 +341,74 @@ int64_t decode_block(const uint8_t *payload, int64_t n, const uint8_t *hist,
   return op;
 }
 
+/* ------------------------------------------------------------------ */
+/* xxHash32 — clean-room from the public spec; validated against the    */
+/* reference's precomputed header byte (0xDF for descriptor 40 70) and  */
+/* the published vectors.                                               */
+/* ------------------------------------------------------------------ */
+
+constexpr uint32_t kXP1 = 2654435761u, kXP2 = 2246822519u,
+                   kXP3 = 3266489917u, kXP4 = 668265263u, kXP5 = 374761393u;
+
+inline uint32_t xrotl(uint32_t x, int r) { return (x << r) | (x >> (32 - r)); }
+inline uint32_t xround(uint32_t acc, uint32_t lane) {
+  return xrotl(acc + lane * kXP2, 13) * kXP1;
+}
+
+struct Xxh32 {
+  uint32_t a1, a2, a3, a4;
+  uint8_t buf[16];
+  size_t buffered = 0;
+  uint64_t total = 0;
+  uint32_t seed;
+
+  explicit Xxh32(uint32_t s = 0) : seed(s) { reset(); }
+  void reset() {
+    a1 = seed + kXP1 + kXP2; a2 = seed + kXP2; a3 = seed; a4 = seed - kXP1;
+    buffered = 0; total = 0;
+  }
+  void update(const uint8_t *p, size_t n) {
+    total += n;
+    if (buffered) {
+      size_t take = std::min(n, sizeof(buf) - buffered);
+      std::memcpy(buf + buffered, p, take);
+      buffered += take; p += take; n -= take;
+      if (buffered < sizeof(buf)) return;
+      a1 = xround(a1, load32(buf)); a2 = xround(a2, load32(buf + 4));
+      a3 = xround(a3, load32(buf + 8)); a4 = xround(a4, load32(buf + 12));
+      buffered = 0;
+    }
+    while (n >= 16) {
+      a1 = xround(a1, load32(p)); a2 = xround(a2, load32(p + 4));
+      a3 = xround(a3, load32(p + 8)); a4 = xround(a4, load32(p + 12));
+      p += 16; n -= 16;
+    }
+    if (n) { std::memcpy(buf, p, n); buffered = n; }
+  }
+  uint32_t digest() const {
+    uint32_t acc;
+    if (total >= 16)
+      acc = xrotl(a1, 1) + xrotl(a2, 7) + xrotl(a3, 12) + xrotl(a4, 18);
+    else
+      acc = seed + kXP5;
+    acc += uint32_t(total);
+    const uint8_t *p = buf;
+    size_t n = buffered;
+    while (n >= 4) { acc = xrotl(acc + load32(p) * kXP3, 17) * kXP4; p += 4; n -= 4; }
+    while (n) { acc = xrotl(acc + *p * kXP5, 11) * kXP1; p++; n--; }
+    acc ^= acc >> 15; acc *= kXP2;
+    acc ^= acc >> 13; acc *= kXP3;
+    acc ^= acc >> 16;
+    return acc;
+  }
+};
+
+inline uint32_t xxh32(const uint8_t *p, size_t n, uint32_t seed = 0) {
+  Xxh32 h(seed);
+  h.update(p, n);
+  return h.digest();
+}
+
 constexpr uint8_t kMagicModern[4] = {0x04, 0x22, 0x4D, 0x18};
 constexpr uint8_t kMagicLegacy[4] = {0x02, 0x21, 0x4C, 0x18};
 /* FLG 0x40 (v1, dependent blocks, no checksums) + BD 0x70 (4 MB) + the
@@ -368,15 +436,27 @@ struct tlz4_enc {
   bool first_block = true;
   bool finished = false;
 
+  bool content_checksum = false;
+  bool block_checksum = false;
+  Xxh32 content_hash;
+
   MatchTables tables;
   std::vector<int32_t> lens, dists;
 };
 
 tlz4_enc *tlz4_enc_new(int level, int legacy, const uint8_t *dict,
                        int64_t dict_n, int64_t block_size) {
+  return tlz4_enc_new2(level, legacy, dict, dict_n, block_size, 0);
+}
+
+tlz4_enc *tlz4_enc_new2(int level, int legacy, const uint8_t *dict,
+                        int64_t dict_n, int64_t block_size, int flags) {
   if (level < 0 || level > 9) return nullptr;
   if (legacy && (dict_n > 0 || level == 0)) return nullptr;
+  if (legacy && flags) return nullptr;  /* legacy has no checksums */
   auto *e = new tlz4_enc();
+  e->content_checksum = flags & TLZ4_F_CONTENT_CHECKSUM;
+  e->block_checksum = flags & TLZ4_F_BLOCK_CHECKSUM;
   e->level = level;
   e->legacy = legacy != 0;
   e->block_size = block_size > 0 ? block_size
@@ -445,6 +525,11 @@ static int64_t enc_emit_block(tlz4_enc *e, int64_t block_end, uint8_t *out,
   if (stored) std::memcpy(out + op, block, size_t(payload_n));
   /* compressed payload was already written in place after the size word */
   op += payload_n;
+  if (e->block_checksum) {
+    if (op + 4 > cap) return TLZ4_E_CAP;
+    store32(out + op, xxh32(out + op - payload_n, size_t(payload_n)));
+    op += 4;
+  }
 
   e->next_block = block_end;
   e->first_block = false;
@@ -466,10 +551,23 @@ int64_t tlz4_enc_write(tlz4_enc *e, const uint8_t *in, int64_t n, int final,
   if (!e->header_sent) {
     int64_t hn = e->legacy ? 4 : 7;
     if (out_cap < hn) return TLZ4_E_CAP;
-    std::memcpy(out, e->legacy ? kMagicLegacy : kModernHeader, size_t(hn));
+    if (e->legacy) {
+      std::memcpy(out, kMagicLegacy, 4);
+    } else if (!e->content_checksum && !e->block_checksum) {
+      std::memcpy(out, kModernHeader, 7);
+    } else {
+      std::memcpy(out, kMagicModern, 4);
+      uint8_t flg = uint8_t(0x40 | (e->block_checksum ? 0x10 : 0) |
+                            (e->content_checksum ? 0x04 : 0));
+      uint8_t descriptor[2] = {flg, 0x70};
+      out[4] = flg;
+      out[5] = 0x70;
+      out[6] = uint8_t(xxh32(descriptor, 2) >> 8);
+    }
     op += hn;
     e->header_sent = true;
   }
+  if (e->content_checksum && n > 0) e->content_hash.update(in, size_t(n));
   if (n > 0) {
     e->buf.insert(e->buf.end(), in, in + n);
     e->appended += n;
@@ -497,6 +595,11 @@ int64_t tlz4_enc_write(tlz4_enc *e, const uint8_t *in, int64_t n, int final,
       }
       store32(out + op, 0);  /* end mark */
       op += 4;
+      if (e->content_checksum) {
+        if (op + 4 > out_cap) return TLZ4_E_CAP;
+        store32(out + op, e->content_hash.digest());
+        op += 4;
+      }
     }
     e->finished = true;
   }
@@ -510,14 +613,21 @@ int64_t tlz4_enc_write(tlz4_enc *e, const uint8_t *in, int64_t n, int final,
 struct tlz4_dec {
   std::vector<uint8_t> in;      /* unconsumed compressed bytes */
   std::vector<uint8_t> hist;    /* up to 64 Ki of history (dict-primed) */
-  enum { HDR, SKIP, BLOCKS, DONE } phase = HDR;
+  enum { HDR, SKIP, BLOCKS, CKSUM, DONE } phase = HDR;
   bool legacy = false;
   bool block_checksum = false, content_checksum = false;
+  bool verify = false;          /* check checksums instead of skipping */
+  Xxh32 content_hash;
   int64_t skip_remaining = 0;   /* bytes left of a skippable frame */
 };
 
 tlz4_dec *tlz4_dec_new(const uint8_t *dict, int64_t dict_n) {
+  return tlz4_dec_new2(dict, dict_n, 0);
+}
+
+tlz4_dec *tlz4_dec_new2(const uint8_t *dict, int64_t dict_n, int verify) {
   auto *d = new tlz4_dec();
+  d->verify = verify != 0;
   if (dict && dict_n > 0) {
     int64_t take = std::min<int64_t>(dict_n, 65536);
     d->hist.assign(dict + dict_n - take, dict + dict_n);
@@ -651,6 +761,12 @@ int64_t tlz4_dec_write(tlz4_dec *d, const uint8_t *in, int64_t n, int final,
       std::memcpy(out + op, payload, size_t(size));
       produced = size;
     }
+    if (d->block_checksum && d->verify) {
+      uint32_t want = load32(payload + size);
+      if (xxh32(payload, size_t(size)) != want) return TLZ4_E_CHECKSUM;
+    }
+    if (d->content_checksum && d->verify)
+      d->content_hash.update(out + op, size_t(produced));
     dec_push_history(d, out + op, produced);
     op += produced;
     ip += need;
@@ -660,8 +776,25 @@ int64_t tlz4_dec_write(tlz4_dec *d, const uint8_t *in, int64_t n, int final,
     }
   }
   if (d->phase == tlz4_dec::DONE && d->content_checksum) {
-    /* checksum skipped, not verified (smallz4cat.c:352-356) */
-    if (b.size() - ip >= 4) ip += 4;
+    /* skipped by default (smallz4cat.c:352-356); verified on request */
+    if (b.size() - ip >= 4) {
+      if (d->verify && d->content_hash.digest() != load32(b.data() + ip))
+        return TLZ4_E_CHECKSUM;
+      ip += 4;
+      d->content_checksum = false;  /* consumed */
+    } else if (d->verify) {
+      if (final) return TLZ4_E_DATA;
+      d->phase = tlz4_dec::CKSUM;  /* await the checksum bytes */
+    }
+  }
+  if (d->phase == tlz4_dec::CKSUM && b.size() - ip >= 4) {
+    if (d->verify && d->content_hash.digest() != load32(b.data() + ip))
+      return TLZ4_E_CHECKSUM;
+    ip += 4;
+    d->content_checksum = false;
+    d->phase = tlz4_dec::DONE;
+  } else if (d->phase == tlz4_dec::CKSUM && final) {
+    return TLZ4_E_DATA;
   }
   d->in.erase(d->in.begin(), d->in.begin() + ip);
   *done = d->phase == tlz4_dec::DONE;
@@ -800,6 +933,10 @@ int64_t tlz4_decode_block(const uint8_t *payload, int64_t n,
                           int64_t cap) {
   if (!payload || n < 0 || hist_n < 0) return TLZ4_E_ARG;
   return decode_block(payload, n, hist, hist_n, out, cap);
+}
+
+uint32_t tlz4_xxh32(const uint8_t *data, int64_t n, uint32_t seed) {
+  return xxh32(data, n < 0 ? 0 : size_t(n), seed);
 }
 
 const char *tlz4_version(void) { return "1.5"; }

@@ -72,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     engine = "auto"         # framework extension: --engine=native|tpu|host
     threads: int | None = None  # --threads=N (host-parallel engine)
     block_size: int | None = None  # --block-size=N
+    content_checksum = False    # --checksum (spec content checksum)
 
     # hand-rolled scan supporting bundled flags like -f7 (smallz4.cpp:194-249)
     pos = 0
@@ -86,6 +87,8 @@ def main(argv: list[str] | None = None) -> int:
                 threads = int(val)
             elif key == "block-size" and val.isdigit():
                 block_size = int(val)
+            elif key == "checksum" and not val:
+                content_checksum = True
             else:
                 error("unknown flag")
             pos += 1
@@ -150,12 +153,15 @@ def main(argv: list[str] | None = None) -> int:
     progress = Progress(verbose, total_size=total)
 
     from . import native
+    if content_checksum and (legacy or engine in ("tpu", "host", "oracle")):
+        error("--checksum requires the native engine and the modern format")
     if engine in ("tpu", "host", "oracle"):
         enc = _BufferedEncoder(engine, level, legacy, dictionary, block_size,
                                threads)
     elif native.available():
         enc = native.Encoder(level=level, legacy=legacy, dictionary=dictionary,
-                             block_size=block_size)
+                             block_size=block_size,
+                             content_checksum=content_checksum)
     else:
         enc = _OracleEncoder(level, legacy, dictionary)
 

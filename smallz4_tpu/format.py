@@ -99,9 +99,25 @@ def level_to_max_chain(level: int) -> int:
 # Frame headers
 # ---------------------------------------------------------------------------
 
-def build_frame_header(legacy: bool = False) -> bytes:
-    """Serialize the frame header (parity: smallz4.h:479-496)."""
-    return MAGIC_LEGACY_BYTES if legacy else MODERN_FRAME_HEADER
+def build_frame_header(
+    legacy: bool = False,
+    content_checksum: bool = False,
+    block_checksum: bool = False,
+) -> bytes:
+    """Serialize the frame header (parity: smallz4.h:479-496).
+
+    With checksums requested, the FLG bits and the header-checksum byte are
+    computed properly (the reference hardcodes the no-checksum descriptor's
+    byte; we carry a real xxHash32 — utils/xxhash.py)."""
+    if legacy:
+        return MAGIC_LEGACY_BYTES
+    if not (content_checksum or block_checksum):
+        return MODERN_FRAME_HEADER
+    from .utils.xxhash import frame_header_checksum
+
+    flg = FLG_BYTE | (0x10 if block_checksum else 0) | (0x04 if content_checksum else 0)
+    descriptor = bytes((flg, BD_BYTE))
+    return MAGIC_MODERN_BYTES + descriptor + bytes((frame_header_checksum(descriptor),))
 
 
 def build_block_header(payload_size: int, stored: bool, legacy: bool = False) -> bytes:

@@ -29,12 +29,13 @@ _ERRORS = {
     -4: "only LZ4 file format version 1 supported",
     -5: "invalid offset",
     -6: "out of data",
+    -7: "checksum mismatch",
 }
 
 
 def _raise(code: int):
     msg = _ERRORS.get(code, f"native error {code}")
-    if code in (-3, -4, -5, -6):
+    if code in (-3, -4, -5, -6, -7):
         raise fmt.FormatError(msg)
     raise ValueError(msg)
 
@@ -62,6 +63,8 @@ def _load():
         i64 = ctypes.c_int64
         lib.tlz4_enc_new.restype = ctypes.c_void_p
         lib.tlz4_enc_new.argtypes = [ctypes.c_int, ctypes.c_int, c_u8p, i64, i64]
+        lib.tlz4_enc_new2.restype = ctypes.c_void_p
+        lib.tlz4_enc_new2.argtypes = [ctypes.c_int, ctypes.c_int, c_u8p, i64, i64, ctypes.c_int]
         lib.tlz4_enc_free.argtypes = [ctypes.c_void_p]
         lib.tlz4_enc_write.restype = i64
         lib.tlz4_enc_write.argtypes = [ctypes.c_void_p, c_u8p, i64, ctypes.c_int, c_u8p, i64]
@@ -69,6 +72,10 @@ def _load():
         lib.tlz4_enc_bound.argtypes = [ctypes.c_void_p, i64]
         lib.tlz4_dec_new.restype = ctypes.c_void_p
         lib.tlz4_dec_new.argtypes = [c_u8p, i64]
+        lib.tlz4_dec_new2.restype = ctypes.c_void_p
+        lib.tlz4_dec_new2.argtypes = [c_u8p, i64, ctypes.c_int]
+        lib.tlz4_xxh32.restype = ctypes.c_uint32
+        lib.tlz4_xxh32.argtypes = [c_u8p, i64, ctypes.c_uint32]
         lib.tlz4_dec_free.argtypes = [ctypes.c_void_p]
         lib.tlz4_dec_write.restype = i64
         lib.tlz4_dec_write.argtypes = [ctypes.c_void_p, c_u8p, i64, ctypes.c_int, c_u8p, i64, ctypes.POINTER(ctypes.c_int)]
@@ -124,7 +131,13 @@ def _ptr32(arr: np.ndarray):
 # one-shot API
 # ---------------------------------------------------------------------------
 
-def compress(data, level=9, legacy=False, dictionary=None, block_size=None) -> bytes:
+def compress(data, level=9, legacy=False, dictionary=None, block_size=None,
+             content_checksum=False, block_checksum=False) -> bytes:
+    if content_checksum or block_checksum:
+        with Encoder(level=level, legacy=legacy, dictionary=dictionary,
+                     block_size=block_size, content_checksum=content_checksum,
+                     block_checksum=block_checksum) as enc:
+            return enc.write(data, final=True)
     lib = _load()
     if legacy and dictionary:
         raise ValueError("legacy format doesn't support dictionaries")
@@ -143,8 +156,14 @@ def compress(data, level=9, legacy=False, dictionary=None, block_size=None) -> b
     return dst[:r].tobytes()
 
 
-def decompress(data, dictionary=None) -> bytes:
-    with Decoder(dictionary=dictionary) as dec:
+def xxh32(data, seed: int = 0) -> int:
+    lib = _load()
+    b = _u8(data)
+    return int(lib.tlz4_xxh32(_ptr(b), len(b), seed))
+
+
+def decompress(data, dictionary=None, verify=False) -> bytes:
+    with Decoder(dictionary=dictionary, verify=verify) as dec:
         out = dec.write(data, final=True)
         if not dec.done:
             raise fmt.FormatError("out of data")
@@ -158,13 +177,15 @@ def decompress(data, dictionary=None) -> bytes:
 class Encoder:
     """Streaming frame encoder: feed chunks, receive compressed bytes."""
 
-    def __init__(self, level=9, legacy=False, dictionary=None, block_size=None):
+    def __init__(self, level=9, legacy=False, dictionary=None, block_size=None,
+                 content_checksum=False, block_checksum=False):
         self._lib = _load()
         if self._lib is None:
             raise RuntimeError("native runtime not built")
         d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
-        self._h = self._lib.tlz4_enc_new(level, int(legacy), _ptr(d), len(d),
-                                         block_size or 0)
+        flags = (1 if content_checksum else 0) | (2 if block_checksum else 0)
+        self._h = self._lib.tlz4_enc_new2(level, int(legacy), _ptr(d), len(d),
+                                          block_size or 0, flags)
         if not self._h:
             raise ValueError("invalid encoder parameters")
 
@@ -195,12 +216,12 @@ class Decoder:
 
     OUT_CAP = (8 << 20) + (1 << 16)  # largest legacy block + slack
 
-    def __init__(self, dictionary=None):
+    def __init__(self, dictionary=None, verify=False):
         self._lib = _load()
         if self._lib is None:
             raise RuntimeError("native runtime not built")
         d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
-        self._h = self._lib.tlz4_dec_new(_ptr(d), len(d))
+        self._h = self._lib.tlz4_dec_new2(_ptr(d), len(d), int(verify))
         self._out = np.empty(self.OUT_CAP, np.uint8)
         self.done = False
 

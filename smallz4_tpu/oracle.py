@@ -365,6 +365,8 @@ def compress(
     legacy: bool = False,
     dictionary: bytes | None = None,
     block_size: int | None = None,
+    content_checksum: bool = False,
+    block_checksum: bool = False,
 ) -> bytes:
     """Compress ``data`` into a complete LZ4 frame.
 
@@ -384,6 +386,8 @@ def compress(
         raise ValueError("legacy format doesn't support uncompressed files")
     if block_size is None:
         block_size = fmt.MAX_BLOCK_SIZE_LEGACY if legacy else fmt.MAX_BLOCK_SIZE
+    if legacy and (content_checksum or block_checksum):
+        raise ValueError("legacy format doesn't support checksums")
 
     dict_tail = b""
     if dictionary and not legacy:
@@ -392,7 +396,7 @@ def compress(
     buf = np.frombuffer(dict_tail + data, dtype=np.uint8)
     n_virtual = len(buf)
 
-    out = bytearray(fmt.build_frame_header(legacy))
+    out = bytearray(fmt.build_frame_header(legacy, content_checksum, block_checksum))
     max_chain = fmt.level_to_max_chain(level)
     state = _MatcherState(buf, grams4(buf)) if (not legacy and max_chain) else None
 
@@ -427,9 +431,15 @@ def compress(
                 payload, stored = block_bytes, True
         out += fmt.build_block_header(len(payload), stored, legacy)
         out += payload
+        if block_checksum:
+            from .utils.xxhash import xxh32
+            out += int.to_bytes(xxh32(payload), 4, "little")
         pos = block_end
         first = False
     out += fmt.build_end_mark(legacy)
+    if content_checksum:
+        from .utils.xxhash import xxh32
+        out += int.to_bytes(xxh32(data), 4, "little")
     return bytes(out)
 
 
@@ -440,6 +450,7 @@ def compress(
 def decompress(
     data: bytes,
     dictionary: bytes | None = None,
+    verify: bool = False,
 ) -> bytes:
     """Decode a complete LZ4 frame (modern or legacy).
 
@@ -480,13 +491,29 @@ def decompress(
         pos += size
         if is_compressed:
             produced = _decode_block(payload, out, dict_tail)
-            if info.legacy and produced < fmt.MAX_BLOCK_SIZE_LEGACY:
-                break  # non-full legacy block terminates the stream
         else:
             out += payload
         if info.has_block_checksum:
-            pos += 4  # skipped, not verified (smallz4cat.c:345-349)
+            # skipped by default (reference parity: smallz4cat.c:345-349);
+            # verified on request (spec superset)
+            if verify:
+                from .utils.xxhash import xxh32
+                if pos + 4 > len(data):
+                    raise fmt.FormatError("out of data")
+                want = int.from_bytes(data[pos : pos + 4], "little")
+                if xxh32(payload) != want:
+                    raise fmt.FormatError("block checksum mismatch")
+            pos += 4
+        if info.legacy and is_compressed and produced < fmt.MAX_BLOCK_SIZE_LEGACY:
+            break  # non-full legacy block terminates the stream
     if info.has_content_checksum:
+        if verify:
+            from .utils.xxhash import xxh32
+            if pos + 4 > len(data):
+                raise fmt.FormatError("out of data")
+            want = int.from_bytes(data[pos : pos + 4], "little")
+            if xxh32(bytes(out)) != want:
+                raise fmt.FormatError("content checksum mismatch")
         pos += 4
     return bytes(out)
 

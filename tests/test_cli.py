@@ -129,3 +129,14 @@ def test_block_size_flag(corpora):
 def test_unknown_long_flag():
     res = run_cli(["--bogus"], b"x")
     assert res.returncode != 0 and b"unknown flag" in res.stderr
+
+
+def test_checksum_flag(reference, corpora):
+    data = corpora["struct"]
+    res = run_cli(["--checksum"], data)
+    assert res.returncode == 0, res.stderr
+    assert res.stdout[4] & 0x04  # FLG content-checksum bit
+    # our cat decodes it; so does the (checksum-skipping) reference
+    back = run_cli([], res.stdout, module="smallz4_tpu.cat_cli")
+    assert back.stdout == data
+    assert reference.decompress(res.stdout) == data

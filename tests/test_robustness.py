@@ -99,3 +99,46 @@ def test_skippable_frames(corpora):
     assert b"".join(parts) == data
     with pytest.raises(fmt.FormatError):
         native.decompress(combo[:10])
+
+
+def test_checksummed_frames():
+    """Spec-complete checksums: generated with a real xxHash32, verified on
+    request, and still decodable by the checksum-skipping reference."""
+    from smallz4_tpu.utils.xxhash import xxh32 as py_xxh32
+
+    data = b"checksum me " * 5000
+    # published vectors + the reference's precomputed header byte
+    assert py_xxh32(b"") == 0x02CC5D05
+    assert native.xxh32(b"") == 0x02CC5D05
+    assert (py_xxh32(bytes([0x40, 0x70])) >> 8) & 0xFF == 0xDF
+    blob = np.random.default_rng(0).integers(0, 256, 100000, np.uint8).tobytes()
+    assert native.xxh32(blob) == py_xxh32(blob)
+
+    for cc, bc in ((True, False), (False, True), (True, True)):
+        f_nat = native.compress(data, 9, content_checksum=cc, block_checksum=bc)
+        f_ora = oracle.compress(data, 9, content_checksum=cc, block_checksum=bc)
+        assert f_nat == f_ora
+        assert native.decompress(f_nat, verify=True) == data
+        assert oracle.decompress(f_nat, verify=True) == data
+        # corrupt one payload byte: verify catches it, skipping doesn't crash
+        bad = bytearray(f_nat)
+        bad[20] ^= 0xFF
+        with pytest.raises(fmt.FormatError, match="checksum|offset|out of data"):
+            native.decompress(bytes(bad), verify=True)
+
+
+def test_checksummed_frames_reference_interop(reference, corpora):
+    data = corpora["struct"]
+    frame = native.compress(data, 9, content_checksum=True, block_checksum=True)
+    # the reference decoder skips (doesn't verify) checksums: must decode
+    assert reference.decompress(frame) == data
+
+
+def test_checksummed_streaming_chunked():
+    data = b"stream-checksums " * 9000
+    frame = native.compress(data, 9, content_checksum=True, block_checksum=True,
+                            block_size=65536 + 1024)
+    dec = native.Decoder(verify=True)
+    parts = [dec.write(frame[i : i + 333]) for i in range(0, len(frame), 333)]
+    parts.append(dec.write(b"", final=True))
+    assert b"".join(parts) == data and dec.done
