@@ -40,6 +40,18 @@ inline uint32_t hash_gram(uint32_t g) {
   return (g * kHashMul) >> (32 - kHashBits);
 }
 
+/* Hashes for the auxiliary long-gram chains (see MatchTables).  These are
+ * an internal acceleration structure with no reference counterpart; any
+ * good mixer works because chain hops re-verify the grams byte-exactly. */
+constexpr int kAuxBits = 21;
+inline uint32_t hash_gram8(uint64_t g) {
+  return uint32_t((g * 0x9E3779B97F4A7C15ull) >> (64 - kAuxBits));
+}
+inline uint32_t hash_gram16(uint64_t a, uint64_t b) {
+  return uint32_t(((a ^ (b * 0xC2B2AE3D27D4EB4Full)) * 0x9E3779B97F4A7C15ull)
+                  >> (64 - kAuxBits));
+}
+
 inline int64_t max_chain_of_level(int level) {
   return level == 9 ? kMaxDistance : level;
 }
@@ -60,14 +72,56 @@ inline int64_t lcp(const uint8_t *a, const uint8_t *b, int64_t cap) {
 /* match finder                                                        */
 /* ------------------------------------------------------------------ */
 
+/* Chain tables.  The 4-byte chain reproduces the reference's candidate
+ * order exactly.  The 8- and 16-byte chains are *skip lists over the same
+ * candidate sequence*: once the walk's best match reaches 8 (resp. 16)
+ * bytes, every further improvement must share an 8- (16-) byte prefix
+ * with the current position, so hopping the longer-gram chain visits a
+ * superset of all remaining improvers in the same nearest-first order —
+ * the improvement sequence (and thus the output) is bit-identical while
+ * skipping candidates that can no longer matter. */
 struct MatchTables {
   std::vector<int64_t> head;  /* (1<<20) hash -> last inserted abs position */
   std::vector<int64_t> link;  /* 64 Ki ring: previous same-hash abs position */
+  std::vector<int64_t> head8, link8;    /* 8-byte-gram chain */
+  std::vector<int64_t> head16, link16;  /* 16-byte-gram chain */
+  /* live boundary chain cuts (pos, 4-byte-chain hash): a skip-chain hop
+   * for a position whose 4-chain passes through a cut must not jump past
+   * it (see find_longest).  At most ~window/block_size entries. */
+  std::vector<std::pair<int64_t, uint32_t>> cuts;
+  /* most recent position whose 16-byte gram wasn't readable at insert
+   * time (streaming: the block was emitted before enough input arrived).
+   * While such a position is inside the search window the 16-chain may be
+   * incomplete, so walks stay on the always-complete 8-chain. */
+  int64_t deferred16 = INT64_MIN;
 
-  MatchTables() : head(size_t(1) << kHashBits, -1), link(kMaxDistance + 1, -1) {}
+  MatchTables()
+      : head(size_t(1) << kHashBits, -1), link(kMaxDistance + 1, -1),
+        head8(size_t(1) << kAuxBits, -1), link8(kMaxDistance + 1, -1),
+        head16(size_t(1) << kAuxBits, -1), link16(kMaxDistance + 1, -1) {}
   void reset() {
     std::fill(head.begin(), head.end(), int64_t(-1));
     std::fill(link.begin(), link.end(), int64_t(-1));
+    std::fill(head8.begin(), head8.end(), int64_t(-1));
+    std::fill(link8.begin(), link8.end(), int64_t(-1));
+    std::fill(head16.begin(), head16.end(), int64_t(-1));
+    std::fill(link16.begin(), link16.end(), int64_t(-1));
+    cuts.clear();
+    deferred16 = INT64_MIN;
+  }
+  void add_cut(int64_t pos, uint32_t h4) {
+    /* drop cuts that fell out of every future window */
+    size_t w = 0;
+    for (size_t r = 0; r < cuts.size(); r++)
+      if (cuts[r].first + kMaxDistance >= pos) cuts[w++] = cuts[r];
+    cuts.resize(w);
+    cuts.emplace_back(pos, h4);
+  }
+  int64_t barrier_for(int64_t p, uint32_t h4) const {
+    int64_t b = -1;
+    for (const auto &c : cuts)
+      if (c.second == h4 && c.first <= p) b = std::max(b, c.first);
+    return b;
   }
 };
 
@@ -77,16 +131,42 @@ struct MatchTables {
  * reference's stored-distance-0 anomaly (smallz4.h:667,676,720). */
 inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
                                int64_t buf_zero, int64_t min_pos,
-                               int64_t p, uint32_t gram) {
+                               int64_t p, uint32_t gram, bool ins16) {
+  const uint8_t *pp = buf + (p - buf_zero);
+  const int64_t slot = p & kMaxDistance;
+  /* skip-list chains: same insertion set, sparser keys.  A position within
+   * 16 bytes of the block end is left off the 16-chain (its gram isn't
+   * readable); it can never be a >=17-byte improver, so walks that hop the
+   * 16-chain lose nothing. */
+  {
+    uint32_t h8 = hash_gram8(load64(pp));
+    int64_t q8 = t.head8[h8];
+    t.head8[h8] = p;
+    if (q8 != p) /* boundary re-insert keeps the original link (the cut is
+                    enforced by the walk barrier, not the aux rings) */
+      t.link8[slot] =
+          (q8 >= 0 && p - q8 <= kMaxDistance && q8 >= min_pos) ? q8 : -1;
+  }
+  if (ins16) {
+    uint32_t h16 = hash_gram16(load64(pp), load64(pp + 8));
+    int64_t q16 = t.head16[h16];
+    t.head16[h16] = p;
+    if (q16 != p)
+      t.link16[slot] =
+          (q16 >= 0 && p - q16 <= kMaxDistance && q16 >= min_pos) ? q16 : -1;
+  } else {
+    t.deferred16 = p;
+  }
   uint32_t h = hash_gram(gram);
   int64_t q = t.head[h];
   t.head[h] = p;
   if (q == p) {  /* boundary re-insert */
-    t.link[p & kMaxDistance] = -1;
+    t.link[slot] = -1;
+    t.add_cut(p, h);
     return -1;
   }
   bool in_window = q >= 0 && p - q <= kMaxDistance && q >= min_pos;
-  t.link[p & kMaxDistance] = in_window ? q : -1;
+  t.link[slot] = in_window ? q : -1;
   if (!in_window) return -1;
   /* hop same-hash entries until the gram matches exactly */
   while (load32(buf + (q - buf_zero)) != gram) {
@@ -105,6 +185,14 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
                          int32_t *out_len, int32_t *out_dist) {
   const uint8_t *cur = buf + (p - buf_zero);
   const uint32_t gram = load32(cur);
+  /* best >= 8 implies cap >= 8, so these guarded loads stay in bounds */
+  const uint64_t g8 = cap >= 8 ? load64(cur) : 0;
+  const uint64_t g16b = cap >= 16 ? load64(cur + 8) : 0;
+  /* Boundary chain cuts (block-boundary re-insert, smallz4.h:667,676,720)
+   * break the re-inserted position's 4-byte chain.  The 4-chain honors
+   * them naturally (its ring link is -1); skip-list hops must not jump
+   * past the nearest cut that lies on p's own 4-chain. */
+  const int64_t barrier = t.barrier_for(p, hash_gram(gram));
   int64_t best = 1, best_dist = 0, steps = max_chain;
   int64_t q = q0;
   while (q >= 0) {
@@ -118,11 +206,36 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
         if (--steps == 0) break;
       }
     }
-    /* next same-gram candidate along the same-hash chain */
-    do {
-      q = t.link[q & kMaxDistance];
-      if (q < 0 || p - q > kMaxDistance || q < min_pos) { q = -1; break; }
-    } while (load32(buf + (q - buf_zero)) != gram);
+    /* hop the sparsest chain that still holds every possible improver:
+     * improving past best >= 8 (16) requires sharing an 8- (16-) byte
+     * prefix, so those chains skip candidates that can no longer matter
+     * without changing the improvement sequence (bit parity preserved) */
+    if (best >= 16 && t.deferred16 < p - kMaxDistance) {
+      for (;;) {
+        q = t.link16[q & kMaxDistance];
+        if (q < 0 || q < barrier || p - q > kMaxDistance || q < min_pos) {
+          q = -1;
+          break;
+        }
+        const uint8_t *c = buf + (q - buf_zero);
+        if (load64(c) == g8 && load64(c + 8) == g16b) break;
+      }
+    } else if (best >= 8) {
+      for (;;) {
+        q = t.link8[q & kMaxDistance];
+        if (q < 0 || q < barrier || p - q > kMaxDistance || q < min_pos) {
+          q = -1;
+          break;
+        }
+        if (load64(buf + (q - buf_zero)) == g8) break;
+      }
+    } else {
+      /* next same-gram candidate along the same-hash chain */
+      do {
+        q = t.link[q & kMaxDistance];
+        if (q < 0 || p - q > kMaxDistance || q < min_pos) { q = -1; break; }
+      } while (load32(buf + (q - buf_zero)) != gram);
+    }
   }
   *out_len = int32_t(best);
   *out_dist = int32_t(best_dist);
@@ -132,8 +245,8 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
  * candidate gate, greedy/lazy skip bookkeeping, trailing literals. */
 void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
                  int64_t min_pos, int64_t base, int64_t bs, int level,
-                 int64_t lookback, int32_t *lens, int32_t *dists,
-                 const uint8_t *refine_mask = nullptr,
+                 int64_t lookback, int64_t buf_end, int32_t *lens,
+                 int32_t *dists, const uint8_t *refine_mask = nullptr,
                  int64_t cut_pos = -1) {
   /* refine_mask: when set (level-9 only, no skip interdependence), run the
    * search only at flagged positions; unflagged keep their incoming
@@ -161,11 +274,13 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
         continue;
       }
     }
-    int64_t q0 = insert_and_gate(t, buf, buf_zero, min_pos, p, load32(pp));
+    int64_t q0 = insert_and_gate(t, buf, buf_zero, min_pos, p, load32(pp),
+                                 /*ins16=*/p + 16 <= buf_end);
     if (p == cut_pos) {
       /* emulate the sequential boundary chain cut (re-insertion anomaly,
        * smallz4.h:667,676,720) when running stateless on a halo context */
       t.link[p & kMaxDistance] = -1;
+      t.add_cut(p, hash_gram(load32(pp)));
       continue;
     }
     if (q0 < 0) continue;  /* gate: no skip bookkeeping without a candidate */
@@ -194,6 +309,61 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
 /* optimal parse DP (smallz4.h:376-472)                                */
 /* ------------------------------------------------------------------ */
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+/* min over cost[lo..hi] (inclusive) and the LAST index attaining it.
+ * Exactness note: the reference's ascending-length scan with its '<='
+ * acceptance (smallz4.h:431-448) ends on the last length whose cost equals
+ * the global minimum, so (min, last-argmin) per extra-byte tier reproduces
+ * its decisions bit-for-bit. */
+static inline void range_min_last(const uint32_t *c, int64_t lo, int64_t hi,
+                                  uint32_t *min_out, int64_t *idx_out) {
+  __m256i vmin = _mm256_set1_epi32(-1);
+  int64_t j = lo;
+  for (; j + 8 <= hi + 1; j += 8)
+    vmin = _mm256_min_epu32(vmin,
+                            _mm256_loadu_si256((const __m256i *)(c + j)));
+  alignas(32) uint32_t tmp[8];
+  _mm256_store_si256((__m256i *)tmp, vmin);
+  uint32_t m = tmp[0];
+  for (int k = 1; k < 8; k++) m = std::min(m, tmp[k]);
+  for (; j <= hi; j++) m = std::min(m, c[j]);
+  /* last index == m, scanning 8-wide from the top */
+  const __m256i vm = _mm256_set1_epi32(int32_t(m));
+  int64_t k = hi - 7;
+  for (; k >= lo; k -= 8) {
+    __m256i eq = _mm256_cmpeq_epi32(
+        _mm256_loadu_si256((const __m256i *)(c + k)), vm);
+    uint32_t mask = uint32_t(_mm256_movemask_ps(_mm256_castsi256_ps(eq)));
+    if (mask) {
+      *min_out = m;
+      *idx_out = k + (31 - __builtin_clz(mask));
+      return;
+    }
+  }
+  for (int64_t e = std::min(hi, k + 7); e >= lo; e--) {
+    if (c[e] == m) {
+      *min_out = m;
+      *idx_out = e;
+      return;
+    }
+  }
+  *min_out = m;
+  *idx_out = lo; /* unreachable: m occurs in range */
+}
+#else
+static inline void range_min_last(const uint32_t *c, int64_t lo, int64_t hi,
+                                  uint32_t *min_out, int64_t *idx_out) {
+  uint32_t m = c[lo];
+  int64_t idx = lo;
+  for (int64_t j = lo + 1; j <= hi; j++) {
+    if (c[j] <= m) { m = c[j]; idx = j; }
+  }
+  *min_out = m;
+  *idx_out = idx;
+}
+#endif
+
 void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
   std::vector<uint32_t> cost(size_t(n) + 1, 0);
   int64_t num_lit = kBlockEndLiterals;
@@ -210,18 +380,24 @@ void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
       best_len = L;
       min_cost = cost[i + L] + 4 + uint32_t((L - 19) / 255);
     } else if (L >= kMinMatch) {
-      uint32_t extra = 3;       /* token + offset */
-      int64_t next_increase = 18;
-      for (int64_t len = kMinMatch; len <= L; len++) {
-        uint32_t c = cost[i + len] + extra;
-        if (c <= min_cost) {  /* '<=': prefer matches, prefer longer */
-          min_cost = c;
-          best_len = len;
+      /* tiered scan: extra(len) is 3 for len in [4,18], then +1 per 255
+       * (smallz4.h:419-456); within a tier the winner is the min cost with
+       * the largest len, across tiers later tiers win '<=' ties — exactly
+       * the reference's ascending '<=' scan (see range_min_last note) */
+      uint32_t extra = 3; /* token + offset */
+      int64_t lo = kMinMatch, tier_hi = 18;
+      while (lo <= L) {
+        const int64_t hi = std::min(L, tier_hi);
+        uint32_t m;
+        int64_t idx;
+        range_min_last(cost.data() + i, lo, hi, &m, &idx);
+        if (m + extra <= min_cost) {
+          min_cost = m + extra;
+          best_len = idx;
         }
-        if (len == next_increase) {
-          extra++;
-          next_increase += 255;
-        }
+        lo = tier_hi + 1;
+        tier_hi += 255;
+        extra++;
       }
     }
     cost[i] = min_cost;
@@ -504,7 +680,9 @@ static int64_t enc_emit_block(tlz4_enc *e, int64_t block_end, uint8_t *out,
     }
     int64_t min_pos = e->legacy ? base : e->buf_zero;
     match_block(e->tables, e->buf.data(), e->buf_zero, min_pos, base, bs,
-                e->level, lookback, e->lens.data(), e->dists.data());
+                e->level, lookback,
+                /*buf_end=*/e->buf_zero + int64_t(e->buf.size()),
+                e->lens.data(), e->dists.data());
     if (bs > kBlockEndNoMatch && max_chain_of_level(e->level) > kGreedyLevels)
       estimate_costs(e->lens.data(), e->dists.data(), bs);
     int64_t comp = emit_block(block, bs, e->lens.data(), e->dists.data(),
@@ -852,7 +1030,8 @@ int64_t tlz4_match_block_ex(const uint8_t *buf, int64_t buf_n, int64_t base,
     return TLZ4_E_ARG;
   MatchTables tables;
   match_block(tables, buf, /*buf_zero=*/0, /*min_pos=*/0, base, bs, level,
-              lookback, out_len, out_dist, nullptr, cut_pos);
+              lookback, /*buf_end=*/buf_n, out_len, out_dist, nullptr,
+              cut_pos);
   return 0;
 }
 
@@ -865,7 +1044,8 @@ int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
     return TLZ4_E_ARG;
   MatchTables tables;
   match_block(tables, buf, /*buf_zero=*/0, /*min_pos=*/0, base, bs,
-              /*level=*/9, lookback, out_len, out_dist, mask, cut_pos);
+              /*level=*/9, lookback, /*buf_end=*/buf_n, out_len, out_dist,
+              mask, cut_pos);
   return 0;
 }
 
