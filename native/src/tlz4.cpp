@@ -182,9 +182,21 @@ inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
 inline void find_longest(const MatchTables &t, const uint8_t *buf,
                          int64_t buf_zero, int64_t min_pos, int64_t p,
                          int64_t q0, int64_t cap, int64_t max_chain,
-                         int32_t *out_len, int32_t *out_dist) {
+                         int64_t run_start, int32_t *out_len,
+                         int32_t *out_dist) {
   const uint8_t *cur = buf + (p - buf_zero);
   const uint32_t gram = load32(cur);
+  /* Byte-run interval skip: when p sits in an equal-byte run with a pure
+   * 4-gram, every candidate q in (run_start, p) has the same common
+   * prefix (run end minus p) — none can improve after the nearest one is
+   * evaluated, so hops jump from run_start's links instead of crawling
+   * the run (quadratic -> constant).  Chain cuts inside the interval are
+   * still honored by the post-hop barrier guards. */
+  const int64_t rskip =
+      (run_start < p && cur[0] == cur[1] && cur[1] == cur[2] &&
+       cur[2] == cur[3])
+          ? run_start
+          : INT64_MAX;
   /* best >= 8 implies cap >= 8, so these guarded loads stay in bounds */
   const uint64_t g8 = cap >= 8 ? load64(cur) : 0;
   const uint64_t g16b = cap >= 16 ? load64(cur + 8) : 0;
@@ -210,6 +222,7 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
      * improving past best >= 8 (16) requires sharing an 8- (16-) byte
      * prefix, so those chains skip candidates that can no longer matter
      * without changing the improvement sequence (bit parity preserved) */
+    if (q > rskip) q = rskip; /* run interval: hop from the run head */
     if (best >= 16 && t.deferred16 < p - kMaxDistance) {
       for (;;) {
         q = t.link16[q & kMaxDistance];
@@ -217,6 +230,7 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
           q = -1;
           break;
         }
+        if (q > rskip) q = rskip;
         const uint8_t *c = buf + (q - buf_zero);
         if (load64(c) == g8 && load64(c + 8) == g16b) break;
       }
@@ -227,13 +241,18 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
           q = -1;
           break;
         }
+        if (q > rskip) q = rskip;
         if (load64(buf + (q - buf_zero)) == g8) break;
       }
     } else {
       /* next same-gram candidate along the same-hash chain */
       do {
         q = t.link[q & kMaxDistance];
-        if (q < 0 || p - q > kMaxDistance || q < min_pos) { q = -1; break; }
+        if (q < 0 || q < barrier || p - q > kMaxDistance || q < min_pos) {
+          q = -1;
+          break;
+        }
+        if (q > rskip) q = rskip;
       } while (load32(buf + (q - buf_zero)) != gram);
     }
   }
@@ -263,9 +282,22 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
   int64_t skip = 0;
   bool lazy_eval = false;
   int64_t i = -lookback;
+  int64_t run_start = base - lookback; /* head of the current equal-byte run */
+  constexpr int64_t kPF = 8; /* head-table prefetch distance */
   for (; i + kBlockEndNoMatch <= bs; i++) {
     const int64_t p = base + i;
     const uint8_t *pp = buf + (p - buf_zero);
+    if (i > -lookback && pp[0] != pp[-1]) run_start = p;
+    if (i + kPF + kBlockEndNoMatch <= bs) {
+      /* the insert keys of position p+kPF are already computable: hide
+       * the head tables' cache latency behind the current walk */
+      const uint8_t *fp = pp + kPF;
+      __builtin_prefetch(&t.head[hash_gram(load32(fp))], 1);
+      __builtin_prefetch(&t.head8[hash_gram8(load64(fp))], 1);
+      if (p + kPF + 16 <= buf_end)
+        __builtin_prefetch(&t.head16[hash_gram16(load64(fp), load64(fp + 8))],
+                           1);
+    }
     if (i > 0 && pp[0] == pp[-1]) {  /* byte-run shortcut: skips the insert */
       int32_t plen = lens[i - 1];
       if (dists[i - 1] == 1 && plen > kMaxSameLetter) {
@@ -292,7 +324,7 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       lazy_eval = false;
     }
     find_longest(t, buf, buf_zero, min_pos, p, q0, match_limit - p, max_chain,
-                 &lens[i], &dists[i]);
+                 run_start, &lens[i], &dists[i]);
     if ((is_lazy || is_greedy) && lens[i] != 1) {
       lazy_eval = skip == 0;
       skip = lens[i];
