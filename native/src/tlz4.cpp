@@ -18,6 +18,10 @@
 #include <algorithm>
 #include <memory>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace {
 
 constexpr int64_t kMinMatch = 4;
@@ -40,16 +44,23 @@ inline uint32_t hash_gram(uint32_t g) {
   return (g * kHashMul) >> (32 - kHashBits);
 }
 
-/* Hashes for the auxiliary long-gram chains (see MatchTables).  These are
- * an internal acceleration structure with no reference counterpart; any
- * good mixer works because chain hops re-verify the grams byte-exactly. */
-constexpr int kAuxBits = 21;
-inline uint32_t hash_gram8(uint64_t g) {
+/* Auxiliary long-gram skip chains (see MatchTables).  kAuxLen[j] is the
+ * prefix length that defines chain j; the chain is usable once the walk's
+ * best reaches kAuxLen[j]-1 (any further improver must share best+1 >=
+ * kAuxLen[j] bytes).  Hashes sample the prefix's first and last 8 bytes —
+ * positions sharing the full prefix always collide into the same bucket,
+ * and false bucket-mates are filtered by the walk's cheap reject, so any
+ * mixer is correct. */
+constexpr int kNumAux = 3;
+constexpr int64_t kAuxLen[kNumAux] = {5, 9, 32}; /* tuned; see docs/PERF.md */
+constexpr int kAuxBits = 22;
+inline uint32_t mix64(uint64_t g) {
   return uint32_t((g * 0x9E3779B97F4A7C15ull) >> (64 - kAuxBits));
 }
-inline uint32_t hash_gram16(uint64_t a, uint64_t b) {
-  return uint32_t(((a ^ (b * 0xC2B2AE3D27D4EB4Full)) * 0x9E3779B97F4A7C15ull)
-                  >> (64 - kAuxBits));
+inline uint32_t aux_hash(int j, const uint8_t *pp) {
+  if (j == 0) return mix64(load64(pp) & 0xFFFFFFFFFFull); /* 5 bytes */
+  return mix64(load64(pp) ^
+               (load64(pp + kAuxLen[j] - 8) * 0xC2B2AE3D27D4EB4Full));
 }
 
 inline int64_t max_chain_of_level(int level) {
@@ -59,6 +70,15 @@ inline int64_t max_chain_of_level(int level) {
 /* common-prefix length of a vs b, capped; little-endian ctz trick */
 inline int64_t lcp(const uint8_t *a, const uint8_t *b, int64_t cap) {
   int64_t i = 0;
+#if defined(__AVX2__)
+  while (i + 32 <= cap) {
+    __m256i va = _mm256_loadu_si256((const __m256i *)(a + i));
+    __m256i vb = _mm256_loadu_si256((const __m256i *)(b + i));
+    uint32_t eq = uint32_t(_mm256_movemask_epi8(_mm256_cmpeq_epi8(va, vb)));
+    if (eq != 0xFFFFFFFFu) return i + __builtin_ctz(~eq);
+    i += 32;
+  }
+#endif
   while (i + 8 <= cap) {
     uint64_t x = load64(a + i) ^ load64(b + i);
     if (x) return i + (__builtin_ctzll(x) >> 3);
@@ -83,31 +103,34 @@ inline int64_t lcp(const uint8_t *a, const uint8_t *b, int64_t cap) {
 struct MatchTables {
   std::vector<int64_t> head;  /* (1<<20) hash -> last inserted abs position */
   std::vector<int64_t> link;  /* 64 Ki ring: previous same-hash abs position */
-  std::vector<int64_t> head8, link8;    /* 8-byte-gram chain */
-  std::vector<int64_t> head16, link16;  /* 16-byte-gram chain */
+  std::vector<int64_t> aux_head[kNumAux], aux_link[kNumAux];
   /* live boundary chain cuts (pos, 4-byte-chain hash): a skip-chain hop
    * for a position whose 4-chain passes through a cut must not jump past
    * it (see find_longest).  At most ~window/block_size entries. */
   std::vector<std::pair<int64_t, uint32_t>> cuts;
-  /* most recent position whose 16-byte gram wasn't readable at insert
+  /* most recent position whose level-j gram wasn't readable at insert
    * time (streaming: the block was emitted before enough input arrived).
-   * While such a position is inside the search window the 16-chain may be
-   * incomplete, so walks stay on the always-complete 8-chain. */
-  int64_t deferred16 = INT64_MIN;
+   * While such a position is inside the search window that chain may be
+   * incomplete, so walks use the next complete level down. */
+  int64_t deferred[kNumAux];
 
   MatchTables()
-      : head(size_t(1) << kHashBits, -1), link(kMaxDistance + 1, -1),
-        head8(size_t(1) << kAuxBits, -1), link8(kMaxDistance + 1, -1),
-        head16(size_t(1) << kAuxBits, -1), link16(kMaxDistance + 1, -1) {}
+      : head(size_t(1) << kHashBits, -1), link(kMaxDistance + 1, -1) {
+    for (int j = 0; j < kNumAux; j++) {
+      aux_head[j].assign(size_t(1) << kAuxBits, -1);
+      aux_link[j].assign(kMaxDistance + 1, -1);
+      deferred[j] = INT64_MIN;
+    }
+  }
   void reset() {
     std::fill(head.begin(), head.end(), int64_t(-1));
     std::fill(link.begin(), link.end(), int64_t(-1));
-    std::fill(head8.begin(), head8.end(), int64_t(-1));
-    std::fill(link8.begin(), link8.end(), int64_t(-1));
-    std::fill(head16.begin(), head16.end(), int64_t(-1));
-    std::fill(link16.begin(), link16.end(), int64_t(-1));
+    for (int j = 0; j < kNumAux; j++) {
+      std::fill(aux_head[j].begin(), aux_head[j].end(), int64_t(-1));
+      std::fill(aux_link[j].begin(), aux_link[j].end(), int64_t(-1));
+      deferred[j] = INT64_MIN;
+    }
     cuts.clear();
-    deferred16 = INT64_MIN;
   }
   void add_cut(int64_t pos, uint32_t h4) {
     /* drop cuts that fell out of every future window */
@@ -131,31 +154,25 @@ struct MatchTables {
  * reference's stored-distance-0 anomaly (smallz4.h:667,676,720). */
 inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
                                int64_t buf_zero, int64_t min_pos,
-                               int64_t p, uint32_t gram, bool ins16) {
+                               int64_t p, uint32_t gram, int64_t buf_end) {
   const uint8_t *pp = buf + (p - buf_zero);
   const int64_t slot = p & kMaxDistance;
-  /* skip-list chains: same insertion set, sparser keys.  A position within
-   * 16 bytes of the block end is left off the 16-chain (its gram isn't
-   * readable); it can never be a >=17-byte improver, so walks that hop the
-   * 16-chain lose nothing. */
-  {
-    uint32_t h8 = hash_gram8(load64(pp));
-    int64_t q8 = t.head8[h8];
-    t.head8[h8] = p;
-    if (q8 != p) /* boundary re-insert keeps the original link (the cut is
+  /* skip-list chains: same insertion set, sparser keys.  A position whose
+   * level-j gram reaches past the readable buffer is left off that chain
+   * (and deferred); it can only become a >=kAuxLen[j]+1-byte improver for
+   * searches that see more buffered bytes, which fall back via deferred. */
+  for (int j = 0; j < kNumAux; j++) {
+    if (p + kAuxLen[j] > buf_end) {
+      for (; j < kNumAux; j++) t.deferred[j] = p;
+      break;
+    }
+    uint32_t hj = aux_hash(j, pp);
+    int64_t qj = t.aux_head[j][hj];
+    t.aux_head[j][hj] = p;
+    if (qj != p) /* boundary re-insert keeps the original link (the cut is
                     enforced by the walk barrier, not the aux rings) */
-      t.link8[slot] =
-          (q8 >= 0 && p - q8 <= kMaxDistance && q8 >= min_pos) ? q8 : -1;
-  }
-  if (ins16) {
-    uint32_t h16 = hash_gram16(load64(pp), load64(pp + 8));
-    int64_t q16 = t.head16[h16];
-    t.head16[h16] = p;
-    if (q16 != p)
-      t.link16[slot] =
-          (q16 >= 0 && p - q16 <= kMaxDistance && q16 >= min_pos) ? q16 : -1;
-  } else {
-    t.deferred16 = p;
+      t.aux_link[j][slot] =
+          (qj >= 0 && p - qj <= kMaxDistance && qj >= min_pos) ? qj : -1;
   }
   uint32_t h = hash_gram(gram);
   int64_t q = t.head[h];
@@ -197,9 +214,6 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
        cur[2] == cur[3])
           ? run_start
           : INT64_MAX;
-  /* best >= 8 implies cap >= 8, so these guarded loads stay in bounds */
-  const uint64_t g8 = cap >= 8 ? load64(cur) : 0;
-  const uint64_t g16b = cap >= 16 ? load64(cur + 8) : 0;
   /* Boundary chain cuts (block-boundary re-insert, smallz4.h:667,676,720)
    * break the re-inserted position's 4-byte chain.  The 4-chain honors
    * them naturally (its ring link is -1); skip-list hops must not jump
@@ -207,6 +221,7 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
   const int64_t barrier = t.barrier_for(p, hash_gram(gram));
   int64_t best = 1, best_dist = 0, steps = max_chain;
   int64_t q = q0;
+  int lvl = -1; /* -1 = 4-byte hash chain; j >= 0 = aux chain kAuxLen[j] */
   while (q >= 0) {
     if (best + 1 > cap) break;
     const uint8_t *cand = buf + (q - buf_zero);
@@ -219,31 +234,23 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
       }
     }
     /* hop the sparsest chain that still holds every possible improver:
-     * improving past best >= 8 (16) requires sharing an 8- (16-) byte
-     * prefix, so those chains skip candidates that can no longer matter
-     * without changing the improvement sequence (bit parity preserved) */
+     * once best >= kAuxLen[j], (a) any improver shares a kAuxLen[j]-byte
+     * prefix with p, and (b) the walk's current position does too (it was
+     * the last improver or a bucket-mate), so it sits on the same chain-j
+     * bucket as every remaining improver — hopping chain j skips
+     * candidates that can no longer matter without changing the
+     * improvement sequence (bit parity preserved).  Hash colliders on aux
+     * chains are not re-verified: a collider's common prefix
+     * (< kAuxLen[j] <= best) can't reach best+1, so the cheap reject +
+     * lcp test filters it with no effect on the output. */
+    while (lvl + 1 < kNumAux && best >= kAuxLen[lvl + 1] &&
+           t.deferred[lvl + 1] < p - kMaxDistance)
+      lvl++;
     if (q > rskip) q = rskip; /* run interval: hop from the run head */
-    if (best >= 16 && t.deferred16 < p - kMaxDistance) {
-      for (;;) {
-        q = t.link16[q & kMaxDistance];
-        if (q < 0 || q < barrier || p - q > kMaxDistance || q < min_pos) {
-          q = -1;
-          break;
-        }
-        if (q > rskip) q = rskip;
-        const uint8_t *c = buf + (q - buf_zero);
-        if (load64(c) == g8 && load64(c + 8) == g16b) break;
-      }
-    } else if (best >= 8) {
-      for (;;) {
-        q = t.link8[q & kMaxDistance];
-        if (q < 0 || q < barrier || p - q > kMaxDistance || q < min_pos) {
-          q = -1;
-          break;
-        }
-        if (q > rskip) q = rskip;
-        if (load64(buf + (q - buf_zero)) == g8) break;
-      }
+    if (lvl >= 0) {
+      q = t.aux_link[lvl][q & kMaxDistance];
+      if (q < 0 || q < barrier || p - q > kMaxDistance || q < min_pos)
+        q = -1;
     } else {
       /* next same-gram candidate along the same-hash chain */
       do {
@@ -293,10 +300,11 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
        * the head tables' cache latency behind the current walk */
       const uint8_t *fp = pp + kPF;
       __builtin_prefetch(&t.head[hash_gram(load32(fp))], 1);
-      __builtin_prefetch(&t.head8[hash_gram8(load64(fp))], 1);
-      if (p + kPF + 16 <= buf_end)
-        __builtin_prefetch(&t.head16[hash_gram16(load64(fp), load64(fp + 8))],
-                           1);
+      __builtin_prefetch(&t.aux_head[0][aux_hash(0, fp)], 1);
+      if (p + kPF + kAuxLen[1] <= buf_end)
+        __builtin_prefetch(&t.aux_head[1][aux_hash(1, fp)], 1);
+      if (p + kPF + kAuxLen[2] <= buf_end)
+        __builtin_prefetch(&t.aux_head[2][aux_hash(2, fp)], 1);
     }
     if (i > 0 && pp[0] == pp[-1]) {  /* byte-run shortcut: skips the insert */
       int32_t plen = lens[i - 1];
@@ -307,7 +315,7 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       }
     }
     int64_t q0 = insert_and_gate(t, buf, buf_zero, min_pos, p, load32(pp),
-                                 /*ins16=*/p + 16 <= buf_end);
+                                 buf_end);
     if (p == cut_pos) {
       /* emulate the sequential boundary chain cut (re-insertion anomaly,
        * smallz4.h:667,676,720) when running stateless on a halo context */
@@ -342,7 +350,6 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
 /* ------------------------------------------------------------------ */
 
 #if defined(__AVX2__)
-#include <immintrin.h>
 /* min over cost[lo..hi] (inclusive) and the LAST index attaining it.
  * Exactness note: the reference's ascending-length scan with its '<='
  * acceptance (smallz4.h:431-448) ends on the last length whose cost equals
