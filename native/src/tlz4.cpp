@@ -515,11 +515,19 @@ int64_t decode_block(const uint8_t *payload, int64_t n, const uint8_t *hist,
         num_lit += c;
       } while (c == 255);
     }
-    if (ip + num_lit > n) return TLZ4_E_DATA;
-    if (op + num_lit > cap) return TLZ4_E_CAP;
-    std::memcpy(out + op, payload + ip, size_t(num_lit));
-    ip += num_lit;
-    op += num_lit;
+    if (num_lit < 15 && ip + 16 <= n && op + 16 <= cap) {
+      /* wild 16-byte copy covers any short literal run; bytes past
+       * num_lit are scratch that later writes overwrite */
+      std::memcpy(out + op, payload + ip, 16);
+      ip += num_lit;
+      op += num_lit;
+    } else {
+      if (ip + num_lit > n) return TLZ4_E_DATA;
+      if (op + num_lit > cap) return TLZ4_E_CAP;
+      std::memcpy(out + op, payload + ip, size_t(num_lit));
+      ip += num_lit;
+      op += num_lit;
+    }
     if (ip == n) break;  /* final literals-only token */
     if (ip + 2 > n) return TLZ4_E_DATA;
     const int64_t delta = payload[ip] | (int64_t(payload[ip + 1]) << 8);
@@ -536,6 +544,15 @@ int64_t decode_block(const uint8_t *payload, int64_t n, const uint8_t *hist,
     }
     if (op + mlen > cap) return TLZ4_E_CAP;
     int64_t ref = op - delta;
+    if (ref >= 0 && delta >= 8 && op + mlen + 16 <= cap) {
+      uint8_t *dst = out + op;
+      const uint8_t *s = out + ref;
+      std::memcpy(dst, s, 8);
+      std::memcpy(dst + 8, s + 8, 8);
+      for (int64_t k = 16; k < mlen; k += 8) std::memcpy(dst + k, s + k, 8);
+      op += mlen;
+      continue;
+    }
     if (ref < 0) {  /* reach into history / dictionary */
       int64_t hpos = hist_n + ref;
       if (hpos < 0) return TLZ4_E_OFFSET;
@@ -544,6 +561,15 @@ int64_t decode_block(const uint8_t *payload, int64_t n, const uint8_t *hist,
       op += take;
       mlen -= take;
       ref += take;
+    }
+    if (op - ref >= 8 && op + mlen + 8 <= cap) {
+      /* wildcopy: 8-byte strides never read unwritten bytes (src stays
+       * >= 8 behind dst) and the slack check keeps stores in bounds */
+      uint8_t *dst = out + op;
+      const uint8_t *srcp = out + ref;
+      for (int64_t k = 0; k < mlen; k += 8) std::memcpy(dst + k, srcp + k, 8);
+      op += mlen;
+      mlen = 0;
     }
     while (mlen > 0) {  /* overlap => chunked doubling copy (RLE) */
       int64_t take = std::min(mlen, op - ref);
@@ -1044,9 +1070,18 @@ int64_t tlz4_decompress(const uint8_t *src, int64_t n, uint8_t *dst,
       tlz4_dec_new(dict, dict_n), tlz4_dec_free);
   if (!d) return TLZ4_E_ARG;
   int done = 0;
-  int64_t r = tlz4_dec_write(d.get(), src, n, 1, dst, cap, &done);
-  if (r >= 0 && !done) return TLZ4_E_DATA;
-  return r;
+  int64_t total = tlz4_dec_write(d.get(), src, n, 1, dst, cap, &done);
+  if (total < 0) return total;
+  while (!done) {
+    /* a paused decoder (output cap reached mid-stream) resumes on
+     * zero-length writes; no progress while undone means truncated input */
+    int64_t r = tlz4_dec_write(d.get(), nullptr, 0, 1, dst + total,
+                               cap - total, &done);
+    if (r < 0) return r; /* E_CAP when out of output room */
+    if (r == 0 && !done) return TLZ4_E_DATA;
+    total += r;
+  }
+  return total;
 }
 
 /* ================================================================== */

@@ -163,6 +163,25 @@ def xxh32(data, seed: int = 0) -> int:
 
 
 def decompress(data, dictionary=None, verify=False) -> bytes:
+    if not verify:
+        # one-shot fast path: single native call, zero staging copies;
+        # geometric retry covers high-ratio frames (output size is not in
+        # the header — smallz4cat.c:150 skips content size too)
+        lib = _load()
+        if lib is not None:
+            src = _u8(data)
+            d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
+            cap = max(4 * len(src), 1 << 16)
+            while cap <= 1 << 34:
+                out = np.empty(cap, np.uint8)
+                r = lib.tlz4_decompress(_ptr(src), len(src), _ptr(out), cap,
+                                        _ptr(d) if len(d) else None, len(d))
+                if r == -2:  # output cap too small
+                    cap *= 4
+                    continue
+                if r < 0:
+                    _raise(r)
+                return out[:r].tobytes()
     with Decoder(dictionary=dictionary, verify=verify) as dec:
         out = dec.write(data, final=True)
         if not dec.done:
