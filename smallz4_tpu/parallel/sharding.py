@@ -40,6 +40,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "blocks") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def _local_rows(arr: np.ndarray, mesh: Mesh, axis: str) -> np.ndarray:
+    """Rows of the leading (sharded) axis owned by this process, in mesh
+    order — the process-local chunk for make_array_from_process_local_data."""
+    pid = jax.process_index()
+    devs = list(mesh.devices.flat)
+    per = arr.shape[0] // len(devs)
+    rows = [
+        arr[i * per : (i + 1) * per]
+        for i, d in enumerate(devs)
+        if d.process_index == pid
+    ]
+    return np.concatenate(rows, axis=0)
+
+
 def _match_batch(ctx, start_valid, end_valid, cut, max_candidates):
     """vmapped single-block search: ctx [B, HALO+S]."""
     fn = functools.partial(
@@ -166,12 +180,36 @@ def compress_sharded(
         blocks[last, block_size - len(dict_tail):] = np.frombuffer(dict_tail, np.uint8)
 
     step = sharded_match_step(mesh, block_size, max_candidates)
-    lens_d, dists_d, conv_d = step(
-        jnp.asarray(blocks), jnp.asarray(lengths), jnp.int32(len(dict_tail))
-    )
-    lens_all = np.asarray(lens_d).astype(np.int32)
-    dists_all = np.asarray(dists_d).astype(np.int32)
-    conv_all = np.asarray(conv_d)
+    if jax.process_count() > 1:
+        # multi-host: every process holds `data`; build the global sharded
+        # batch from each process's own rows and allgather the results
+        from jax.sharding import NamedSharding
+        from jax.experimental import multihost_utils
+
+        axis = mesh.axis_names[0]
+        row_sh = NamedSharding(mesh, P(axis, None))
+        vec_sh = NamedSharding(mesh, P(axis))
+        blocks_g = jax.make_array_from_process_local_data(
+            row_sh, _local_rows(blocks, mesh, axis))
+        lengths_g = jax.make_array_from_process_local_data(
+            vec_sh, _local_rows(lengths, mesh, axis))
+        lens_d, dists_d, conv_d = step(blocks_g, lengths_g,
+                                       jnp.int32(len(dict_tail)))
+        lens_all = np.asarray(
+            multihost_utils.process_allgather(lens_d, tiled=True)
+        ).astype(np.int32)
+        dists_all = np.asarray(
+            multihost_utils.process_allgather(dists_d, tiled=True)
+        ).astype(np.int32)
+        conv_all = np.asarray(
+            multihost_utils.process_allgather(conv_d, tiled=True))
+    else:
+        lens_d, dists_d, conv_d = step(
+            jnp.asarray(blocks), jnp.asarray(lengths), jnp.int32(len(dict_tail))
+        )
+        lens_all = np.asarray(lens_d).astype(np.int32)
+        dists_all = np.asarray(dists_d).astype(np.int32)
+        conv_all = np.asarray(conv_d)
 
     def finish(b: int) -> tuple[bytes, bool]:
         bs = int(lengths[b])
