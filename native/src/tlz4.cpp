@@ -155,7 +155,7 @@ struct MatchTables {
 inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
                                int64_t buf_zero, int64_t min_pos,
                                int64_t p, uint32_t gram, int64_t buf_end,
-                               bool use_aux) {
+                               int aux_levels) {
   const uint8_t *pp = buf + (p - buf_zero);
   const int64_t slot = p & kMaxDistance;
   /* skip-list chains: same insertion set, sparser keys.  A position whose
@@ -165,7 +165,7 @@ inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
    * Greedy/lazy levels never walk far enough to amortize the inserts, so
    * aux maintenance is skipped there (the 4-chain walk alone is already
    * the reference's exact walk). */
-  for (int j = 0; use_aux && j < kNumAux; j++) {
+  for (int j = 0; j < aux_levels; j++) {
     if (p + kAuxLen[j] > buf_end) {
       for (; j < kNumAux; j++) t.deferred[j] = p;
       break;
@@ -203,7 +203,7 @@ inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
 inline void find_longest(const MatchTables &t, const uint8_t *buf,
                          int64_t buf_zero, int64_t min_pos, int64_t p,
                          int64_t q0, int64_t cap, int64_t max_chain,
-                         int64_t run_start, bool use_aux, int32_t *out_len,
+                         int64_t run_start, int aux_levels, int32_t *out_len,
                          int32_t *out_dist) {
   const uint8_t *cur = buf + (p - buf_zero);
   const uint32_t gram = load32(cur);
@@ -247,7 +247,7 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
      * chains are not re-verified: a collider's common prefix
      * (< kAuxLen[j] <= best) can't reach best+1, so the cheap reject +
      * lcp test filters it with no effect on the output. */
-    while (use_aux && lvl + 1 < kNumAux && best >= kAuxLen[lvl + 1] &&
+    while (lvl + 1 < aux_levels && best >= kAuxLen[lvl + 1] &&
            t.deferred[lvl + 1] < p - kMaxDistance)
       lvl++;
     if (q > rskip) q = rskip; /* run interval: hop from the run head */
@@ -285,8 +285,10 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
   const bool is_greedy = max_chain <= kGreedyLevels;
   const bool is_lazy = !is_greedy && max_chain <= kLazyLevels;
   /* greedy walks stop after <= 3 improvements — aux upkeep can't pay for
-   * itself there; lazy and optimal levels walk enough to profit */
-  const bool use_aux = max_chain > kGreedyLevels;
+   * itself there; lazy levels keep just the cheap 5-byte chain; the
+   * optimal levels (7-9) walk enough to profit from all of them */
+  const int aux_levels =
+      max_chain <= kGreedyLevels ? 0 : (max_chain <= kLazyLevels ? 1 : kNumAux);
   const int64_t match_limit = base + bs - kBlockEndLiterals;
   if (!refine_mask) {
     std::memset(lens, 0, sizeof(int32_t) * size_t(bs));
@@ -307,8 +309,9 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
        * the head tables' cache latency behind the current walk */
       const uint8_t *fp = pp + kPF;
       __builtin_prefetch(&t.head[hash_gram(load32(fp))], 1);
-      if (use_aux) {
+      if (aux_levels > 0)
         __builtin_prefetch(&t.aux_head[0][aux_hash(0, fp)], 1);
+      if (aux_levels > 1) {
         if (p + kPF + kAuxLen[1] <= buf_end)
           __builtin_prefetch(&t.aux_head[1][aux_hash(1, fp)], 1);
         if (p + kPF + kAuxLen[2] <= buf_end)
@@ -324,7 +327,7 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       }
     }
     int64_t q0 = insert_and_gate(t, buf, buf_zero, min_pos, p, load32(pp),
-                                 buf_end, use_aux);
+                                 buf_end, aux_levels);
     if (p == cut_pos) {
       /* emulate the sequential boundary chain cut (re-insertion anomaly,
        * smallz4.h:667,676,720) when running stateless on a halo context */
@@ -341,7 +344,7 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       lazy_eval = false;
     }
     find_longest(t, buf, buf_zero, min_pos, p, q0, match_limit - p, max_chain,
-                 run_start, use_aux, &lens[i], &dists[i]);
+                 run_start, aux_levels, &lens[i], &dists[i]);
     if ((is_lazy || is_greedy) && lens[i] != 1) {
       lazy_eval = skip == 0;
       skip = lens[i];
