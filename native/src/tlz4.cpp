@@ -1107,6 +1107,24 @@ int64_t tlz4_match_block(const uint8_t *buf, int64_t buf_n, int64_t base,
                              out_len, out_dist);
 }
 
+/* Stateless block entries reuse one thread-local table set: each call maps
+ * its buffer at a fresh position base > previous + window, so every stale
+ * entry fails the walk's distance/min_pos checks — semantically identical
+ * to fresh tables with zero reset cost (the tables are ~90 MB). */
+struct SessionTables {
+  MatchTables tables;
+  int64_t next_base = 0;
+  int64_t map(int64_t buf_n) {
+    int64_t zero = next_base;
+    next_base += buf_n + kMaxDistance + 1;
+    return zero;
+  }
+};
+SessionTables &session_tables() {
+  thread_local SessionTables s;
+  return s;
+}
+
 int64_t tlz4_match_block_ex(const uint8_t *buf, int64_t buf_n, int64_t base,
                             int64_t bs, int level, int64_t lookback,
                             int64_t cut_pos, int32_t *out_len,
@@ -1114,10 +1132,11 @@ int64_t tlz4_match_block_ex(const uint8_t *buf, int64_t buf_n, int64_t base,
   if (!buf || base < 0 || bs < 0 || base + bs > buf_n || lookback > base ||
       level < 1 || level > 9)
     return TLZ4_E_ARG;
-  MatchTables tables;
-  match_block(tables, buf, /*buf_zero=*/0, /*min_pos=*/0, base, bs, level,
-              lookback, /*buf_end=*/buf_n, out_len, out_dist, nullptr,
-              cut_pos);
+  SessionTables &s = session_tables();
+  int64_t zero = s.map(buf_n);
+  match_block(s.tables, buf, /*buf_zero=*/zero, /*min_pos=*/zero, zero + base,
+              bs, level, lookback, /*buf_end=*/zero + buf_n, out_len,
+              out_dist, nullptr, cut_pos >= 0 ? zero + cut_pos : -1);
   return 0;
 }
 
@@ -1128,10 +1147,11 @@ int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
   if (!buf || !mask || base < 0 || bs < 0 || base + bs > buf_n ||
       lookback > base)
     return TLZ4_E_ARG;
-  MatchTables tables;
-  match_block(tables, buf, /*buf_zero=*/0, /*min_pos=*/0, base, bs,
-              /*level=*/9, lookback, /*buf_end=*/buf_n, out_len, out_dist,
-              mask, cut_pos);
+  SessionTables &s = session_tables();
+  int64_t zero = s.map(buf_n);
+  match_block(s.tables, buf, /*buf_zero=*/zero, /*min_pos=*/zero, zero + base,
+              bs, /*level=*/9, lookback, /*buf_end=*/zero + buf_n, out_len,
+              out_dist, mask, cut_pos >= 0 ? zero + cut_pos : -1);
   return 0;
 }
 

@@ -66,11 +66,26 @@ def compress(
             return payload, False
         return data[start:end], True
 
-    workers = threads or min(32, os.cpu_count() or 1)
+    pool = _pool(threads)
     out = bytearray(fmt.build_frame_header(False))
-    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
-        for payload, stored in pool.map(one_block, starts):
-            out += fmt.build_block_header(len(payload), stored, False)
-            out += payload
+    for payload, stored in pool.map(one_block, starts):
+        out += fmt.build_block_header(len(payload), stored, False)
+        out += payload
     out += fmt.build_end_mark(False)
     return bytes(out)
+
+
+_POOL: cf.ThreadPoolExecutor | None = None
+_POOL_SIZE = 0
+
+
+def _pool(threads: int | None) -> cf.ThreadPoolExecutor:
+    """Persistent executor: the native matcher keeps ~90 MB of thread-local
+    tables warm per worker (reset-free reuse), so threads must outlive
+    individual compress() calls."""
+    global _POOL, _POOL_SIZE
+    want = threads or min(32, os.cpu_count() or 1)
+    if _POOL is None or _POOL_SIZE < want:
+        _POOL = cf.ThreadPoolExecutor(max_workers=want)
+        _POOL_SIZE = want
+    return _POOL
