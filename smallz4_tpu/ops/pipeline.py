@@ -135,34 +135,36 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
             return payload, False
         return data[start:end], True
 
+    from ..parallel import host as host_par
+
+    pool = host_par._pool(None)  # persistent: workers keep warm match tables
     jobs = []
-    with cf.ThreadPoolExecutor(max_workers=8) as pool:
-        for bi, (start, end) in enumerate(blocks):
-            bs = end - start
-            vstart, vend = start + d, end + d
-            lens = np.empty(bs, np.int32)
-            dists = np.empty(bs, np.int32)
-            conv = np.ones(bs, bool)
-            for group, (lens_d, dists_d, conv_d) in per_block[bi]:
-                lens_np = np.asarray(lens_d).astype(np.int32)
-                dists_np = np.asarray(dists_d).astype(np.int32)
-                conv_np = np.asarray(conv_d)
-                for r, s0 in enumerate(group):
-                    w = min(SEG, vend - s0)
-                    o = s0 - vstart
-                    lens[o : o + w] = lens_np[r, :w]
-                    dists[o : o + w] = dists_np[r, :w]
-                    conv[o : o + w] = conv_np[r, :w]
-            # block-tail rule: the last 11 positions are literals
-            tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
-            lens[bs - tail :] = 1
-            dists[bs - tail :] = 0
-            conv[bs - tail :] = True
-            jobs.append(pool.submit(finish, bi, start, end, lens, dists, conv))
-        for (start, end), job in zip(blocks, jobs):
-            payload, stored = job.result()  # frame order preserved
-            out += fmt.build_block_header(len(payload), stored, legacy)
-            out += payload
+    for bi, (start, end) in enumerate(blocks):
+        bs = end - start
+        vstart, vend = start + d, end + d
+        lens = np.empty(bs, np.int32)
+        dists = np.empty(bs, np.int32)
+        conv = np.ones(bs, bool)
+        for group, (lens_d, dists_d, conv_d) in per_block[bi]:
+            lens_np = np.asarray(lens_d).astype(np.int32)
+            dists_np = np.asarray(dists_d).astype(np.int32)
+            conv_np = np.asarray(conv_d)
+            for r, s0 in enumerate(group):
+                w = min(SEG, vend - s0)
+                o = s0 - vstart
+                lens[o : o + w] = lens_np[r, :w]
+                dists[o : o + w] = dists_np[r, :w]
+                conv[o : o + w] = conv_np[r, :w]
+        # block-tail rule: the last 11 positions are literals
+        tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
+        lens[bs - tail :] = 1
+        dists[bs - tail :] = 0
+        conv[bs - tail :] = True
+        jobs.append(pool.submit(finish, bi, start, end, lens, dists, conv))
+    for (start, end), job in zip(blocks, jobs):
+        payload, stored = job.result()  # frame order preserved
+        out += fmt.build_block_header(len(payload), stored, legacy)
+        out += payload
 
 
 def decompress(data, dictionary=None) -> bytes:

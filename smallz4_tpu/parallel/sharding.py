@@ -236,9 +236,11 @@ def compress_sharded(
             return payload, False
         return block, True
 
+    from . import host as host_par
+
     out = bytearray(fmt.build_frame_header(False))
-    with cf.ThreadPoolExecutor(max_workers=8) as pool:
-        results = list(pool.map(finish, range(nblocks)))
+    pool = host_par._pool(None)  # persistent: warm native match tables
+    results = list(pool.map(finish, range(nblocks)))
     for payload, stored in results:  # ordered concat: frame order preserved
         out += fmt.build_block_header(len(payload), stored=stored, legacy=False)
         out += payload
