@@ -125,6 +125,19 @@ int64_t tlz4_match_block_ex(const uint8_t *buf, int64_t buf_n, int64_t base,
                             int64_t cut_pos, int32_t *out_len,
                             int32_t *out_dist);
 
+/* Intra-block chunk search: per-position matches for [base, base+bs) of a
+ * larger block that ends at block_end (base+bs <= block_end <= buf_n), with
+ * the block's own end rules (match limit block_end-5, 12-byte no-match
+ * tail).  At the non-skipping levels (7-9) per-position results depend only
+ * on the data, so a block's match stage splits into independent chunks —
+ * bit-exact intra-block host parallelism.  Chunk bases must lie outside
+ * giant-run shortcut zones (> MaxSameLetter equal bytes remaining after the
+ * base; the caller snaps cuts, see parallel/host.py). */
+int64_t tlz4_match_block_ex2(const uint8_t *buf, int64_t buf_n, int64_t base,
+                             int64_t bs, int level, int64_t lookback,
+                             int64_t cut_pos, int64_t block_end,
+                             int32_t *out_len, int32_t *out_dist);
+
 /* Selective re-search (level-9 semantics): runs the match search only at
  * positions with mask[i] != 0; others keep their incoming (len, dist).
  * Host side of the TPU parity fallback for unconverged lanes. */

@@ -277,10 +277,17 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
                  int64_t min_pos, int64_t base, int64_t bs, int level,
                  int64_t lookback, int64_t buf_end, int32_t *lens,
                  int32_t *dists, const uint8_t *refine_mask = nullptr,
-                 int64_t cut_pos = -1) {
+                 int64_t cut_pos = -1, int64_t block_end = -1) {
   /* refine_mask: when set (level-9 only, no skip interdependence), run the
    * search only at flagged positions; unflagged keep their incoming
-   * (len, dist) — the host side of the TPU parity fallback. */
+   * (len, dist) — the host side of the TPU parity fallback.
+   * block_end: absolute end of the enclosing LZ4 block.  Defaults to
+   * base+bs (the classic whole-block call).  When base+bs < block_end this
+   * is a *chunk* call: positions [base, base+bs) of a larger block are
+   * searched with the block's own end rules (match_limit, 12-byte no-match
+   * tail), enabling bit-exact intra-block parallelism at the non-skipping
+   * levels (7-9), where per-position results depend only on the data
+   * (candidate-set theorem, SURVEY.md). */
   const int64_t max_chain = max_chain_of_level(level);
   const bool is_greedy = max_chain <= kGreedyLevels;
   const bool is_lazy = !is_greedy && max_chain <= kLazyLevels;
@@ -289,7 +296,8 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
    * optimal levels (7-9) walk enough to profit from all of them */
   const int aux_levels =
       max_chain <= kGreedyLevels ? 0 : (max_chain <= kLazyLevels ? 1 : kNumAux);
-  const int64_t match_limit = base + bs - kBlockEndLiterals;
+  if (block_end < 0) block_end = base + bs;
+  const int64_t match_limit = block_end - kBlockEndLiterals;
   if (!refine_mask) {
     std::memset(lens, 0, sizeof(int32_t) * size_t(bs));
     std::memset(dists, 0, sizeof(int32_t) * size_t(bs));
@@ -300,11 +308,14 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
   int64_t i = -lookback;
   int64_t run_start = base - lookback; /* head of the current equal-byte run */
   constexpr int64_t kPF = 8; /* head-table prefetch distance */
-  for (; i + kBlockEndNoMatch <= bs; i++) {
+  /* last scanned i: within this call's range AND >= 12 before block end */
+  const int64_t scan_end =
+      std::min(bs, block_end - base - kBlockEndNoMatch + 1);
+  for (; i < scan_end; i++) {
     const int64_t p = base + i;
     const uint8_t *pp = buf + (p - buf_zero);
     if (i > -lookback && pp[0] != pp[-1]) run_start = p;
-    if (i + kPF + kBlockEndNoMatch <= bs) {
+    if (i + kPF < scan_end) {
       /* the insert keys of position p+kPF are already computable: hide
        * the head tables' cache latency behind the current walk */
       const uint8_t *fp = pp + kPF;
@@ -1137,6 +1148,26 @@ int64_t tlz4_match_block_ex(const uint8_t *buf, int64_t buf_n, int64_t base,
   match_block(s.tables, buf, /*buf_zero=*/zero, /*min_pos=*/zero, zero + base,
               bs, level, lookback, /*buf_end=*/zero + buf_n, out_len,
               out_dist, nullptr, cut_pos >= 0 ? zero + cut_pos : -1);
+  return 0;
+}
+
+int64_t tlz4_match_block_ex2(const uint8_t *buf, int64_t buf_n, int64_t base,
+                             int64_t bs, int level, int64_t lookback,
+                             int64_t cut_pos, int64_t block_end,
+                             int32_t *out_len, int32_t *out_dist) {
+  /* Chunk-of-a-block search: positions [base, base+bs) with the enclosing
+   * block ending at block_end (>= base+bs, <= buf_n).  Levels 7-9 only —
+   * greedy/lazy skip bookkeeping makes per-position results order-
+   * dependent, so those levels cannot be chunked bit-exactly. */
+  if (!buf || base < 0 || bs < 0 || base + bs > buf_n || lookback > base ||
+      level < 7 || level > 9 || block_end < base + bs || block_end > buf_n)
+    return TLZ4_E_ARG;
+  SessionTables &s = session_tables();
+  int64_t zero = s.map(buf_n);
+  match_block(s.tables, buf, /*buf_zero=*/zero, /*min_pos=*/zero, zero + base,
+              bs, level, lookback, /*buf_end=*/zero + buf_n, out_len,
+              out_dist, nullptr, cut_pos >= 0 ? zero + cut_pos : -1,
+              zero + block_end);
   return 0;
 }
 

@@ -89,6 +89,8 @@ def _load():
         lib.tlz4_match_block.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, c_i32p, c_i32p]
         lib.tlz4_match_block_ex.restype = i64
         lib.tlz4_match_block_ex.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, i64, c_i32p, c_i32p]
+        lib.tlz4_match_block_ex2.restype = i64
+        lib.tlz4_match_block_ex2.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, i64, i64, c_i32p, c_i32p]
         lib.tlz4_match_refine.restype = i64
         lib.tlz4_match_refine.argtypes = [c_u8p, i64, i64, i64, i64, i64, c_u8p, c_i32p, c_i32p]
         lib.tlz4_estimate_costs.restype = i64
@@ -305,6 +307,19 @@ def match_block_ex(buf, base: int, bs: int, level: int, lookback: int,
     b = _u8(buf)
     r = lib.tlz4_match_block_ex(_ptr(b), len(b), base, bs, level, lookback,
                                 cut_pos, _ptr32(lens), _ptr32(dists))
+    if r < 0:
+        _raise(r)
+
+
+def match_chunk(buf, base: int, bs: int, level: int, lookback: int,
+                cut_pos: int, block_end: int,
+                lens: np.ndarray, dists: np.ndarray) -> None:
+    """Match search for chunk [base, base+bs) of a block ending at
+    ``block_end`` (intra-block parallelism, levels 7-9 only)."""
+    lib = _load()
+    b = _u8(buf)
+    r = lib.tlz4_match_block_ex2(_ptr(b), len(b), base, bs, level, lookback,
+                                 cut_pos, block_end, _ptr32(lens), _ptr32(dists))
     if r < 0:
         _raise(r)
 
