@@ -87,6 +87,21 @@ void tlz4_dec_free(tlz4_dec *);
 int64_t tlz4_dec_write(tlz4_dec *, const uint8_t *in, int64_t n, int final,
                        uint8_t *out, int64_t out_cap, int *done);
 
+/* ---------------- constant-memory ring decoder ---------------- */
+
+/* A byte-resumable decoder with the reference's memory profile: a 64 KB
+ * ring plus a <=16-byte stash — no input retention, no output staging
+ * (smallz4cat.c:73,162-166).  Feed any chunk; *consumed reports how much
+ * was taken (< n when `out` filled: re-feed the remainder after draining).
+ * Returns bytes written to out, or a TLZ4_E_* error. */
+typedef struct tlz4_rdec tlz4_rdec;
+
+tlz4_rdec *tlz4_rdec_new(const uint8_t *dict, int64_t dict_n, int verify);
+void tlz4_rdec_free(tlz4_rdec *);
+int64_t tlz4_rdec_write(tlz4_rdec *, const uint8_t *in, int64_t n, int final,
+                        uint8_t *out, int64_t out_cap, int64_t *consumed,
+                        int *done);
+
 /* ---------------- one-shot helpers ---------------- */
 
 int64_t tlz4_compress_bound(int64_t n);

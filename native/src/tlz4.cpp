@@ -1068,6 +1068,329 @@ int64_t tlz4_dec_write(tlz4_dec *d, const uint8_t *in, int64_t n, int final,
 }
 
 /* ================================================================== */
+/* constant-memory ring decoder                                        */
+/*                                                                     */
+/* The reference decoder streams any frame through a 64 KB ring plus a */
+/* 4 KB read buffer (smallz4cat.c:73,162-166) — O(64 KB) memory for    */
+/* arbitrarily large streams.  tlz4_rdec reproduces that profile as a  */
+/* byte-resumable state machine: it retains NO input (a <=16-byte      */
+/* stash for split multi-byte fields only) and reports how much of the */
+/* caller's chunk it consumed, pausing whenever the output buffer      */
+/* fills.  Decode semantics match smallz4cat.c:112-360 exactly         */
+/* (token/length chains, ring-wrapped match copies with RLE overlap,   */
+/* stored blocks streamed through the ring, dict at the ring tail,     */
+/* legacy non-full-block termination).                                 */
+/* ================================================================== */
+
+struct tlz4_rdec {
+  enum State {
+    S_MAGIC, S_SKIP_SIZE, S_SKIP_DATA, S_FLG, S_HDR_REST,
+    S_BLK_SIZE, S_STORED, S_TOKEN, S_LITLEN, S_LITERALS, S_OFFSET,
+    S_MATLEN, S_MATCH, S_BLK_CKSUM, S_CONTENT_CKSUM, S_DONE,
+  };
+  static constexpr int64_t kRing = 65536;
+  uint8_t ring[kRing];
+  State state = S_MAGIC;
+  uint8_t stash[16];
+  int hdr_rest = 0;             /* bytes left of the skipped header tail */
+  int stash_n = 0;
+  bool legacy = false, block_checksum = false, content_checksum = false;
+  bool verify = false;
+  bool stored = false;          /* current block is uncompressed */
+  int64_t skip_remaining = 0;   /* skippable-frame payload left */
+  int64_t blk_remaining = 0;    /* compressed payload bytes left in block */
+  int64_t blk_produced = 0;     /* decoded bytes of the current block */
+  int64_t lit_remaining = 0;
+  int64_t match_remaining = 0;
+  int64_t delta = 0;
+  uint8_t token = 0;
+  int64_t pos = 0;              /* ring write cursor (mod kRing) */
+  int64_t produced = 0;         /* total decoded bytes */
+  int64_t hist_avail = 0;       /* dictionary bytes preloaded at ring tail */
+  Xxh32 content_hash;
+  Xxh32 block_hash;
+};
+
+tlz4_rdec *tlz4_rdec_new(const uint8_t *dict, int64_t dict_n, int verify) {
+  auto *d = new tlz4_rdec();
+  d->verify = verify != 0;
+  std::memset(d->ring, 0, sizeof(d->ring));
+  if (dict && dict_n > 0) {
+    /* last <=64 KB of the dictionary lands at the *end* of the ring so
+     * wrap-around offsets resolve into it (smallz4cat.c:169-187) */
+    int64_t take = std::min<int64_t>(dict_n, tlz4_rdec::kRing);
+    std::memcpy(d->ring + tlz4_rdec::kRing - take, dict + dict_n - take,
+                size_t(take));
+    d->hist_avail = take;
+  }
+  return d;
+}
+
+void tlz4_rdec_free(tlz4_rdec *d) { delete d; }
+
+/* Pull up to `want` bytes into the stash; true once it holds `want`. */
+static bool rdec_fill(tlz4_rdec *d, const uint8_t *in, int64_t n, int64_t &ip,
+                      int want) {
+  int64_t take = std::min<int64_t>(want - d->stash_n, n - ip);
+  std::memcpy(d->stash + d->stash_n, in + ip, size_t(take));
+  d->stash_n += int(take);
+  ip += take;
+  return d->stash_n == want;
+}
+
+int64_t tlz4_rdec_write(tlz4_rdec *d, const uint8_t *in, int64_t n, int final,
+                        uint8_t *out, int64_t out_cap, int64_t *consumed,
+                        int *done) {
+  if (!d || n < 0 || (n > 0 && !in) || !consumed || !done || out_cap < 0)
+    return TLZ4_E_ARG;
+  using R = tlz4_rdec;
+  int64_t ip = 0, op = 0;
+  const int64_t kRing = R::kRing;
+
+  /* Emit `take` freshly decoded ring bytes [pos, pos+take) to out and all
+   * running hashes; the caller guarantees take <= out space & ring wrap. */
+  auto emit = [&](int64_t take) {
+    if (d->content_checksum && d->verify)
+      d->content_hash.update(d->ring + d->pos, size_t(take));
+    std::memcpy(out + op, d->ring + d->pos, size_t(take));
+    op += take;
+    d->pos = (d->pos + take) & (kRing - 1);
+    d->produced += take;
+    d->blk_produced += take;
+  };
+  auto blk_consume = [&](const uint8_t *p, int64_t take) {
+    if (d->block_checksum && d->verify) d->block_hash.update(p, size_t(take));
+    d->blk_remaining -= take;
+  };
+
+  for (;;) {
+    switch (d->state) {
+    case R::S_MAGIC: {
+      if (!rdec_fill(d, in, n, ip, 4)) goto out_of_input;
+      uint32_t magic = load32(d->stash);
+      d->stash_n = 0;
+      if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {
+        d->state = R::S_SKIP_SIZE;
+      } else if (!std::memcmp(d->stash, kMagicLegacy, 4)) {
+        d->legacy = true;
+        d->state = R::S_BLK_SIZE;
+      } else if (!std::memcmp(d->stash, kMagicModern, 4)) {
+        d->state = R::S_FLG;
+      } else {
+        return TLZ4_E_MAGIC;
+      }
+      break;
+    }
+    case R::S_SKIP_SIZE:
+      if (!rdec_fill(d, in, n, ip, 4)) goto out_of_input;
+      d->skip_remaining = load32(d->stash);
+      d->stash_n = 0;
+      d->state = R::S_SKIP_DATA;
+      break;
+    case R::S_SKIP_DATA: {
+      int64_t take = std::min(d->skip_remaining, n - ip);
+      ip += take;
+      d->skip_remaining -= take;
+      if (d->skip_remaining > 0) goto out_of_input;
+      d->state = R::S_MAGIC;
+      break;
+    }
+    case R::S_FLG: {
+      if (!rdec_fill(d, in, n, ip, 1)) goto out_of_input;
+      uint8_t flags = d->stash[0];
+      d->stash_n = 0;
+      if ((flags >> 6) != 1) return TLZ4_E_VERSION;
+      d->block_checksum = flags & 16;
+      d->content_checksum = flags & 4;
+      /* BD byte + optional content size + dict id + header checksum:
+       * all skipped, like smallz4cat.c:143-158 */
+      d->hdr_rest = 2 + ((flags & 8) ? 8 : 0) + ((flags & 1) ? 4 : 0);
+      d->state = R::S_HDR_REST;
+      break;
+    }
+    case R::S_HDR_REST: {
+      int64_t take = std::min<int64_t>(d->hdr_rest, n - ip);
+      ip += take;
+      d->hdr_rest -= int(take);
+      if (d->hdr_rest > 0) goto out_of_input;
+      d->state = R::S_BLK_SIZE;
+      break;
+    }
+    case R::S_BLK_SIZE: {
+      if (n - ip == 0 && final && d->legacy && d->stash_n == 0) {
+        d->state = R::S_DONE;  /* legacy: EOF ends the stream */
+        break;
+      }
+      if (!rdec_fill(d, in, n, ip, 4)) goto out_of_input;
+      uint32_t raw = load32(d->stash);
+      d->stash_n = 0;
+      d->stored = !d->legacy && (raw & 0x80000000u);
+      d->blk_remaining = d->legacy ? raw : (raw & 0x7FFFFFFFu);
+      d->blk_produced = 0;
+      d->block_hash = Xxh32();
+      if (d->blk_remaining == 0) {
+        d->state = d->content_checksum ? R::S_CONTENT_CKSUM : R::S_DONE;
+        break;
+      }
+      d->state = d->stored ? R::S_STORED : R::S_TOKEN;
+      break;
+    }
+    case R::S_STORED: {
+      int64_t take = std::min(d->blk_remaining, n - ip);
+      take = std::min(take, out_cap - op);
+      take = std::min(take, kRing - d->pos);
+      if (take == 0) {
+        if (op >= out_cap) goto out_of_output;
+        goto out_of_input;
+      }
+      std::memcpy(d->ring + d->pos, in + ip, size_t(take));
+      blk_consume(in + ip, take);
+      ip += take;
+      emit(take);
+      if (d->blk_remaining == 0)
+        d->state = d->block_checksum ? R::S_BLK_CKSUM : R::S_BLK_SIZE;
+      break;
+    }
+    case R::S_TOKEN:
+      if (n - ip == 0) goto out_of_input;
+      d->token = in[ip];
+      blk_consume(in + ip, 1);
+      ip++;
+      d->lit_remaining = d->token >> 4;
+      d->state = (d->lit_remaining == 15) ? R::S_LITLEN : R::S_LITERALS;
+      break;
+    case R::S_LITLEN: {
+      uint8_t c;
+      do {
+        if (n - ip == 0) goto out_of_input;
+        if (d->blk_remaining == 0) return TLZ4_E_DATA;
+        c = in[ip];
+        blk_consume(in + ip, 1);
+        ip++;
+        d->lit_remaining += c;
+      } while (c == 255);
+      d->state = R::S_LITERALS;
+      break;
+    }
+    case R::S_LITERALS: {
+      if (d->lit_remaining > d->blk_remaining) return TLZ4_E_DATA;
+      while (d->lit_remaining > 0) {
+        int64_t take = std::min(d->lit_remaining, n - ip);
+        take = std::min(take, out_cap - op);
+        take = std::min(take, kRing - d->pos);
+        if (take == 0) {
+          if (op >= out_cap) goto out_of_output;
+          goto out_of_input;
+        }
+        std::memcpy(d->ring + d->pos, in + ip, size_t(take));
+        blk_consume(in + ip, take);
+        ip += take;
+        emit(take);
+        d->lit_remaining -= take;
+      }
+      if (d->blk_remaining == 0) {
+        /* final literals-only token (smallz4cat.c:258) */
+        d->state = d->block_checksum ? R::S_BLK_CKSUM : R::S_BLK_SIZE;
+        /* legacy: a non-full block ends the stream (smallz4cat.c:325-327) */
+        if (d->legacy && d->blk_produced < kMaxBlockLegacy)
+          d->state = R::S_DONE;
+        break;
+      }
+      d->state = R::S_OFFSET;
+      break;
+    }
+    case R::S_OFFSET: {
+      if (d->blk_remaining < 2) return TLZ4_E_DATA;
+      if (!rdec_fill(d, in, n, ip, 2)) goto out_of_input;
+      blk_consume(d->stash, 2);
+      d->delta = d->stash[0] | (int64_t(d->stash[1]) << 8);
+      d->stash_n = 0;
+      if (d->delta == 0) return TLZ4_E_OFFSET;
+      if (d->delta > d->produced + d->hist_avail) return TLZ4_E_OFFSET;
+      d->match_remaining = 4 + (d->token & 0x0F);
+      d->state = (d->match_remaining == 19) ? R::S_MATLEN : R::S_MATCH;
+      break;
+    }
+    case R::S_MATLEN: {
+      uint8_t c;
+      do {
+        if (n - ip == 0) goto out_of_input;
+        if (d->blk_remaining == 0) return TLZ4_E_DATA;
+        c = in[ip];
+        blk_consume(in + ip, 1);
+        ip++;
+        d->match_remaining += c;
+      } while (c == 255);
+      d->state = R::S_MATCH;
+      break;
+    }
+    case R::S_MATCH: {
+      while (d->match_remaining > 0) {
+        if (op >= out_cap) goto out_of_output;
+        int64_t rd = (d->pos - d->delta) & (kRing - 1);
+        int64_t take = std::min(d->match_remaining, out_cap - op);
+        take = std::min(take, kRing - d->pos);
+        take = std::min(take, kRing - rd);
+        if (d->delta >= 8 && d->delta >= take) {
+          std::memcpy(d->ring + d->pos, d->ring + rd, size_t(take));
+        } else {
+          take = std::min(take, d->delta);  /* overlap: RLE chunking */
+          std::memmove(d->ring + d->pos, d->ring + rd, size_t(take));
+        }
+        emit(take);
+        d->match_remaining -= take;
+      }
+      if (d->blk_remaining == 0) {
+        d->state = d->block_checksum ? R::S_BLK_CKSUM : R::S_BLK_SIZE;
+        if (d->legacy && d->blk_produced < kMaxBlockLegacy)
+          d->state = R::S_DONE;
+      } else {
+        d->state = R::S_TOKEN;
+      }
+      break;
+    }
+    case R::S_BLK_CKSUM:
+      if (!rdec_fill(d, in, n, ip, 4)) goto out_of_input;
+      if (d->verify && d->block_hash.digest() != load32(d->stash))
+        return TLZ4_E_CHECKSUM;
+      d->stash_n = 0;
+      d->state = R::S_BLK_SIZE;  /* legacy frames never carry checksums */
+      break;
+    case R::S_CONTENT_CKSUM:
+      if (!rdec_fill(d, in, n, ip, 4)) {
+        if (final) return TLZ4_E_DATA;
+        goto out_of_input;
+      }
+      if (d->verify && d->content_hash.digest() != load32(d->stash))
+        return TLZ4_E_CHECKSUM;
+      d->stash_n = 0;
+      d->state = R::S_DONE;
+      break;
+    case R::S_DONE:
+      *consumed = ip;
+      *done = 1;
+      return op;
+    }
+    continue;
+  out_of_input:
+    if (final && d->state != R::S_DONE) {
+      if (d->legacy && d->state == R::S_BLK_SIZE && d->stash_n == 0) {
+        d->state = R::S_DONE;
+        continue;
+      }
+      return TLZ4_E_DATA;
+    }
+    *consumed = ip;
+    *done = 0;
+    return op;
+  out_of_output:
+    *consumed = ip;
+    *done = 0;
+    return op;
+  }
+}
+
+/* ================================================================== */
 /* one-shot helpers                                                    */
 /* ================================================================== */
 

@@ -53,13 +53,14 @@ def main(argv: list[str] | None = None) -> int:
     dst = sys.stdout.buffer
 
     from . import native
-    if native.available():
-        dec = native.Decoder(dictionary=dictionary)
-    else:
-        dec = _OracleDecoder(dictionary)
-
     try:
-        uio.pump(dec, src, dst)
+        if native.available():
+            # constant-memory path: 64 KB ring + 64 KB read chunks — the
+            # reference decoder's memory profile (smallz4cat.c:73,162-166)
+            with native.RingDecoder(dictionary=dictionary) as dec:
+                uio.pump_chunks(dec, src, dst)
+        else:
+            uio.pump(_OracleDecoder(dictionary), src, dst)
     except fmt.FormatError as e:
         error(str(e))
     return 0

@@ -85,6 +85,13 @@ def _load():
         lib.tlz4_compress.argtypes = [c_u8p, i64, c_u8p, i64, ctypes.c_int, ctypes.c_int, c_u8p, i64, i64]
         lib.tlz4_decompress.restype = i64
         lib.tlz4_decompress.argtypes = [c_u8p, i64, c_u8p, i64, c_u8p, i64]
+        lib.tlz4_rdec_new.restype = ctypes.c_void_p
+        lib.tlz4_rdec_new.argtypes = [c_u8p, i64, ctypes.c_int]
+        lib.tlz4_rdec_free.argtypes = [ctypes.c_void_p]
+        lib.tlz4_rdec_write.restype = i64
+        lib.tlz4_rdec_write.argtypes = [ctypes.c_void_p, c_u8p, i64, ctypes.c_int,
+                                        c_u8p, i64, ctypes.POINTER(ctypes.c_int64),
+                                        ctypes.POINTER(ctypes.c_int)]
         lib.tlz4_match_block.restype = i64
         lib.tlz4_match_block.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, c_i32p, c_i32p]
         lib.tlz4_match_block_ex.restype = i64
@@ -168,13 +175,15 @@ def decompress(data, dictionary=None, verify=False) -> bytes:
     if not verify:
         # one-shot fast path: single native call, zero staging copies;
         # geometric retry covers high-ratio frames (output size is not in
-        # the header — smallz4cat.c:150 skips content size too)
+        # the header — smallz4cat.c:150 skips content size too).  The retry
+        # allocation is capped at 1 GiB: past that the streaming decoder
+        # takes over and grows output in pieces instead of one huge buffer.
         lib = _load()
         if lib is not None:
             src = _u8(data)
             d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
             cap = max(4 * len(src), 1 << 16)
-            while cap <= 1 << 34:
+            while cap <= 1 << 30:
                 out = np.empty(cap, np.uint8)
                 r = lib.tlz4_decompress(_ptr(src), len(src), _ptr(out), cap,
                                         _ptr(d) if len(d) else None, len(d))
@@ -273,6 +282,58 @@ class Decoder:
     def close(self):
         if self._h:
             self._lib.tlz4_dec_free(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class RingDecoder:
+    """Constant-memory streaming decoder: 64 KB ring + 16-byte stash, no
+    input retention (the reference's memory profile, smallz4cat.c:73,
+    162-166).  write() consumes the chunk fully, emitting output pieces of
+    at most ``out_chunk`` bytes; total live memory is O(64 KB) regardless
+    of frame size."""
+
+    def __init__(self, dictionary=None, verify=False, out_chunk: int = 1 << 16):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native runtime not built")
+        d = _u8(dictionary) if dictionary else np.zeros(0, np.uint8)
+        self._h = self._lib.tlz4_rdec_new(_ptr(d), len(d), int(verify))
+        self._out = np.empty(out_chunk, np.uint8)
+        self.done = False
+
+    def chunks(self, chunk, final: bool = False):
+        """Yield decoded pieces for this input chunk (each <= out_chunk)."""
+        src = _u8(chunk)
+        off = 0
+        consumed = ctypes.c_int64(0)
+        flag = ctypes.c_int(0)
+        while True:
+            n = len(src) - off
+            r = self._lib.tlz4_rdec_write(
+                self._h, _ptr(src[off:]) if n else None, n,
+                int(final), _ptr(self._out), len(self._out),
+                ctypes.byref(consumed), ctypes.byref(flag))
+            if r < 0:
+                _raise(r)
+            if r:
+                yield self._out[:r].tobytes()
+            off += consumed.value
+            self.done = bool(flag.value)
+            if self.done or (off >= len(src) and r == 0):
+                break
+
+    def write(self, chunk, final: bool = False) -> bytes:
+        return b"".join(self.chunks(chunk, final))
+
+    def close(self):
+        if self._h:
+            self._lib.tlz4_rdec_free(self._h)
             self._h = None
 
     def __enter__(self):

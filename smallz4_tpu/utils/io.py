@@ -54,3 +54,17 @@ def pump(codec, src: BinaryIO, dst: BinaryIO, progress=None, chunk: int = CHUNK)
         if final:
             break
     dst.flush()
+
+
+def pump_chunks(codec, src: BinaryIO, dst: BinaryIO, chunk: int = 1 << 16) -> None:
+    """Like pump, but for codecs exposing a piecewise ``chunks`` API (the
+    constant-memory ring decoder): peak live memory stays O(chunk + 64 KB)
+    end to end — the reference decoder's profile (smallz4cat.c:73,162-166)."""
+    while True:
+        data = src.read(chunk)
+        final = not data
+        for piece in codec.chunks(data or b"", final=final):
+            dst.write(piece)
+        if final or getattr(codec, "done", False):
+            break
+    dst.flush()

@@ -86,6 +86,65 @@ def test_streaming_decoder_chunked(reference, corpora):
     assert dec.done
 
 
+def test_ring_decoder_matches_reference(reference, corpora):
+    """Constant-memory ring decoder (smallz4cat.c memory profile): exact
+    output across chunk sizes, formats, and levels."""
+    data = (corpora["text"] + corpora["mixed"] + corpora["run_mid"]) * 2
+    for legacy in (False, True):
+        for level in (9, 1):
+            frame = reference.compress(data, level, legacy=legacy)
+            for chunk in (1, 7, 65536, len(frame)):
+                with native.RingDecoder() as dec:
+                    out = bytearray()
+                    for i in range(0, len(frame), chunk):
+                        out += dec.write(frame[i : i + chunk])
+                    out += dec.write(b"", final=True)
+                assert bytes(out) == data, (legacy, level, chunk)
+                assert dec.done
+
+
+def test_ring_decoder_small_out_chunk(corpora):
+    """Output pieces are bounded by out_chunk — the constant-memory
+    guarantee is structural, not incidental."""
+    data = corpora["run_mid"] * 8 + corpora["text"]
+    frame = native.compress(data, 9)
+    with native.RingDecoder(out_chunk=4096) as dec:
+        pieces = list(dec.chunks(frame, final=True))
+    assert all(len(p) <= 4096 for p in pieces)
+    assert b"".join(pieces) == data
+
+
+def test_ring_decoder_dictionary_and_checksums(corpora):
+    dic = corpora["text"][:30000]
+    data = corpora["mixed"] + corpora["text"][:10000]
+    frame = native.compress(data, 9, dictionary=dic)
+    with native.RingDecoder(dictionary=dic) as dec:
+        assert dec.write(frame, final=True) == data
+    frame2 = native.compress(data, 9, content_checksum=True,
+                             block_checksum=True)
+    with native.RingDecoder(verify=True) as dec:
+        assert dec.write(frame2, final=True) == data
+    bad = bytearray(frame2)
+    bad[25] ^= 0xFF
+    with pytest.raises(fmt.FormatError):
+        with native.RingDecoder(verify=True) as dec:
+            dec.write(bytes(bad), final=True)
+
+
+def test_ring_decoder_errors():
+    with pytest.raises(fmt.FormatError, match="signature"):
+        native.RingDecoder().write(b"\x00\x01\x02\x03\x04\x05\x06\x07",
+                                   final=True)
+    frame = native.compress(b"truncate me " * 400, 9)
+    with pytest.raises(fmt.FormatError, match="out of data"):
+        native.RingDecoder().write(frame[: len(frame) // 2], final=True)
+    # zero offset is rejected (smallz4cat.c:266-267 semantics)
+    with pytest.raises(fmt.FormatError):
+        bad = bytes.fromhex("04224d1840705f") + bytes([5, 0, 0, 0]) \
+            + bytes.fromhex("1041000041") + b"\x00" * 4
+        native.RingDecoder().write(bad, final=True)
+
+
 def test_block_level_entry_points(corpora):
     """The TPU-hybrid host ops: match -> DP -> emit == oracle pipeline."""
     data = np.frombuffer(corpora["text"], dtype=np.uint8)

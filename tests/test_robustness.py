@@ -13,25 +13,32 @@ def _need_native():
         pytest.skip("native runtime not built")
 
 
-def test_corrupt_stream_fuzz(corpora):
-    """Random corruptions must decode consistently between engines: both
-    produce the same bytes, or both reject with FormatError — never crash,
-    never hang."""
+def test_corrupt_stream_fuzz(corpora, reference):
+    """Random corruptions must decode consistently between engines: all
+    produce the same bytes, or reject with FormatError — never crash,
+    never hang.  The reference binary is the third oracle: whenever our
+    engines accept a corrupted stream, smallz4cat must produce identical
+    bytes."""
+    import subprocess
+
     rng = np.random.default_rng(77)
     base = native.compress(corpora["text"] + corpora["mixed"], 9)
     arr = bytearray(base)
-    checked = 0
-    for _ in range(120):
+    checked = ref_checked = 0
+    for it in range(120):
         buf = bytearray(arr)
         for _ in range(int(rng.integers(1, 4))):
-            kind = rng.integers(0, 3)
+            kind = rng.integers(0, 4)
             if kind == 0:  # flip a byte
                 buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
             elif kind == 1:  # truncate
                 buf = buf[: int(rng.integers(8, len(buf)))]
-            else:  # splice garbage
+            elif kind == 2:  # splice garbage
                 at = int(rng.integers(0, len(buf)))
                 buf[at:at] = bytes(rng.integers(0, 256, 5, dtype=np.uint8))
+            else:  # trailing garbage after the end mark: ignored per the
+                # reference's behavior (smallz4cat.c:190-204 stops at size 0)
+                buf += bytes(rng.integers(0, 256, 16, dtype=np.uint8))
         try:
             got_native = native.decompress(bytes(buf))
             err_native = None
@@ -44,11 +51,30 @@ def test_corrupt_stream_fuzz(corpora):
             err_oracle = None
         except fmt.FormatError:
             got_oracle, err_oracle = None, True
+        try:
+            with native.RingDecoder() as rdec:
+                got_ring = rdec.write(bytes(buf), final=True)
+                if not rdec.done:
+                    raise fmt.FormatError("out of data")
+            err_ring = None
+        except fmt.FormatError:
+            got_ring, err_ring = None, True
         if err_native is None and err_oracle is None:
             assert got_native == got_oracle
             checked += 1
-    # most corruptions are detected; at least a few should decode on both
-    assert checked >= 0
+        if err_native is None and err_ring is None:
+            assert got_native == got_ring
+        if err_native is None and it % 10 == 0:
+            res = subprocess.run(["/tmp/refbin/smallz4cat", "-"],
+                                 input=bytes(buf), capture_output=True,
+                                 timeout=60)
+            if res.returncode == 0:
+                assert res.stdout == got_native
+                ref_checked += 1
+    # the trailing-garbage corruption class guarantees accepted streams:
+    # a vacuous `checked >= 0` here would hide a dead comparison loop
+    assert checked >= 8
+    assert ref_checked >= 1
 
 
 def test_truncation_everywhere(corpora):
