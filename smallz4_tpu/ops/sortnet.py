@@ -1,20 +1,22 @@
-"""Pallas TPU bitonic sorting network for (key, payload...) records.
+"""Pallas TPU bitonic sorting network for (keys..., pos, payload...) records.
 
 XLA's generic sort lowering measures ~0.03 G elem/s on v5e — unusable.
 This module re-expresses sorting as what the chip is actually fast at:
-dense rolls + compare-selects in VMEM (measured ~0.3-0.4 G CE/s... per
-*vector lane set*, i.e. ~3-400 G scalar CEs/s; see exp/probe_tpu3.py).
+dense rolls + compare-selects in VMEM (measured 320-400 G CE/s on int32
+planes; see exp/probe_tpu3.py).
 
 Layout: records live in row-major (R, 128) int32 planes, flat index
 i = r*128 + l.  A bitonic stage with XOR distance j pairs element i with
 i^j — for j < 128 that partner sits in the same row (lane roll), for
 j >= 128 in the same lane (sublane roll), so every stage is exactly two
-static rolls + selects: no gather, no scatter, no data-dependent shapes.
+static rolls + selects per plane: no gather, no scatter, no
+data-dependent shapes.
 
-Keys are compared as unsigned with the position payload as tiebreak, so
-the result is deterministic and equivalent to a stable sort by key —
-matching ops.match_finder.build_prev's `jnp.argsort(stable=True)`
-contract (reference chain semantics: smallz4.h:651-653 nearest-first).
+Records sort lexicographically by (key planes..., pos): keys compare as
+unsigned, pos as the final tiebreak, so the result is deterministic and
+equivalent to a stable sort — matching ops.match_finder.build_prev's
+`jnp.argsort(stable=True)` contract (reference chain semantics:
+smallz4.h:651-653 nearest-first).
 
 The reference has no counterpart component: this replaces the hash-chain
 *data structure* (smallz4.h:515-519,603-744) with sorted-neighborhood
@@ -30,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+SIGN = jnp.int32(-0x80000000)
 
 
 def _flat_iota(rows: int) -> jnp.ndarray:
@@ -53,66 +56,67 @@ def _partner(plane: jnp.ndarray, j: int) -> jnp.ndarray:
     return jnp.where((row & s) == 0, fwd, bwd)
 
 
-def _stage(state, j: int, k: int, idx: jnp.ndarray, n_payload: int):
+def _lex_lt(mine, theirs, n_keys: int):
+    """Lexicographic < over the key planes with pos as final tiebreak.
+    Key planes were sign-flipped by the wrapper, so int32 `<` is unsigned
+    order; pos is a plain non-negative int32."""
+    lt = mine[n_keys] < theirs[n_keys]  # pos tiebreak (always distinct)
+    for k in range(n_keys - 1, -1, -1):
+        lt = (mine[k] < theirs[k]) | ((mine[k] == theirs[k]) & lt)
+    return lt
+
+
+def _stage(state, j: int, k: int, idx: jnp.ndarray, n_keys: int):
     """One compare-exchange stage: XOR distance j inside width-k runs."""
-    key = state[0]
-    pos = state[1]
-    pk = _partner(key, j)
-    pp = _partner(pos, j)
-    # unsigned key compare with position tiebreak (stable-sort equivalence)
-    mine_lt = (key < pk) | ((key == pk) & (pos < pp))
+    partners = [_partner(p, j) for p in state]
+    mine_lt = _lex_lt(state, partners, n_keys)
     lower = (idx & j) == 0
     ascending = (idx & k) == 0
     # keep own value iff (I am the min-slot) == (my value is the smaller)
     keep = (lower == ascending) == mine_lt
-    # equal records (impossible with distinct pos, but keep it total):
-    keep = keep | ((key == pk) & (pos == pp))
-    out = [jnp.where(keep, key, pk), jnp.where(keep, pos, pp)]
-    for w in state[2:]:
-        out.append(jnp.where(keep, w, _partner(w, j)))
-    return tuple(out)
+    return tuple(jnp.where(keep, s, p) for s, p in zip(state, partners))
 
 
-def _bitonic_kernel(n: int, n_payload: int, refs):
+def _bitonic_kernel(n: int, n_keys: int, n_planes: int, refs):
     """Full network over one resident (R,128) record set."""
     rows = n // LANES
     idx = _flat_iota(rows)
-    ins = refs[: 2 + n_payload]
-    outs = refs[2 + n_payload :]
+    ins = refs[:n_planes]
+    outs = refs[n_planes:]
     state = tuple(r[:] for r in ins)
     k = 2
     while k <= n:
         j = k // 2
         while j >= 1:
-            state = _stage(state, j, k, idx, n_payload)
+            state = _stage(state, j, k, idx, n_keys)
             j //= 2
         k *= 2
     for o, s in zip(outs, state):
         o[:] = s
 
 
-@functools.partial(jax.jit, static_argnames=("n_payload",))
-def sort_records(key: jnp.ndarray, pos: jnp.ndarray, *payload, n_payload=None):
-    """Sort flat uint32 `key` (ascending, unsigned) with int32 `pos` as
-    tiebreak-and-payload plus any extra int32 payload planes.
+@functools.partial(jax.jit, static_argnames=("n_keys",))
+def sort_records(*planes, n_keys: int = 1):
+    """Sort records lexicographically by the first ``n_keys`` planes
+    (uint32 ascending) with the next plane (pos, int32) as tiebreak; any
+    remaining planes ride along as payload.
 
-    Input length must be a power of two and a multiple of 1024; callers
-    pad with key=0xFFFFFFFF sentinels (they sink to the top).
-    Returns the sorted planes in the same order.
+    Record count must be a power of two >= 1024; callers pad with
+    all-ones keys (sentinels sink to the top).  Returns the planes in the
+    input order, sorted.
     """
-    if n_payload is None:
-        n_payload = len(payload)
-    n = key.shape[0]
+    n = planes[0].shape[0]
     assert n & (n - 1) == 0 and n >= 1024, n
+    assert len(planes) >= n_keys + 1
     rows = n // LANES
-    planes = [key.astype(jnp.uint32).view(jnp.int32) if key.dtype != jnp.int32
-              else key, pos.astype(jnp.int32)]
-    planes += [p.astype(jnp.int32) for p in payload]
-    # unsigned order on an int32 plane: flip the sign bit before/after
-    planes[0] = planes[0] ^ jnp.int32(-0x80000000)
-    shaped = [p.reshape(rows, LANES) for p in planes]
+    shaped = []
+    for i, p in enumerate(planes):
+        q = p.view(jnp.int32) if p.dtype == jnp.uint32 else p.astype(jnp.int32)
+        if i < n_keys:
+            q = q ^ SIGN  # unsigned order on an int32 plane
+        shaped.append(q.reshape(rows, LANES))
 
-    kernel = functools.partial(_bitonic_kernel, n, n_payload)
+    kernel = functools.partial(_bitonic_kernel, n, n_keys, len(planes))
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -121,6 +125,12 @@ def sort_records(key: jnp.ndarray, pos: jnp.ndarray, *payload, n_payload=None):
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in planes],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
     )(*shaped)
-    outs = [o.reshape(n) for o in outs]
-    outs[0] = outs[0] ^ jnp.int32(-0x80000000)
-    return tuple(outs)
+    result = []
+    for i, o in enumerate(outs):
+        q = o.reshape(n)
+        if i < n_keys:
+            q = q ^ SIGN
+        if planes[i].dtype == jnp.uint32:
+            q = q.view(jnp.uint32)
+        result.append(q)
+    return tuple(result)
