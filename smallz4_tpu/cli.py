@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 from . import format as fmt
 from .utils import io as uio
@@ -73,6 +74,22 @@ def main(argv: list[str] | None = None) -> int:
     threads: int | None = None  # --threads=N (host-parallel engine)
     block_size: int | None = None  # --block-size=N
     content_checksum = False    # --checksum (spec content checksum)
+    max_candidates = 16     # tpu engine search cap (profiles override)
+    parity = False          # tpu engine exact -9 streams
+    want_report = False     # --report: RunReport JSON on stderr
+
+    # --profile applies first; explicit flags then override its fields
+    for arg in argv:
+        if arg.startswith("--profile="):
+            from .models import profiles
+
+            try:
+                prof = profiles.get(arg[len("--profile="):])
+            except ValueError as e:
+                error(str(e))
+            level, legacy, engine = prof.level, prof.legacy, prof.engine
+            block_size, threads = prof.block_size, prof.threads
+            max_candidates, parity = prof.max_candidates, prof.parity
 
     # hand-rolled scan supporting bundled flags like -f7 (smallz4.cpp:194-249)
     pos = 0
@@ -89,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
                 block_size = int(val)
             elif key == "checksum" and not val:
                 content_checksum = True
+            elif key == "report" and not val:
+                want_report = True
+            elif key == "profile" and val:
+                pass  # applied in the pre-scan above
+            elif key == "parity" and not val:
+                parity = True
             else:
                 error("unknown flag")
             pos += 1
@@ -155,9 +178,15 @@ def main(argv: list[str] | None = None) -> int:
     from . import native
     if content_checksum and (legacy or engine in ("tpu", "host", "oracle")):
         error("--checksum requires the native engine and the modern format")
+    report = None
+    if want_report:
+        from .utils.profiling import RunReport
+
+        report = RunReport(operation="encode", engine=engine)
     if engine in ("tpu", "host", "oracle"):
         enc = _BufferedEncoder(engine, level, legacy, dictionary, block_size,
-                               threads)
+                               threads, max_candidates=max_candidates,
+                               parity=parity, report=report)
     elif native.available():
         enc = native.Encoder(level=level, legacy=legacy, dictionary=dictionary,
                              block_size=block_size,
@@ -165,8 +194,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         enc = _OracleEncoder(level, legacy, dictionary)
 
+    t0 = time.perf_counter()
     uio.pump(enc, src, dst, progress=progress)
     progress.summary()
+    if report is not None:
+        if not report.wall_s:  # engines that don't fill stages themselves
+            report.wall_s = time.perf_counter() - t0
+            report.bytes_in = progress.bytes_in
+            report.bytes_out = progress.bytes_out
+        print(report.to_json(), file=sys.stderr)
     return 0
 
 
@@ -174,9 +210,11 @@ class _BufferedEncoder:
     """Whole-buffer engines (tpu / host-parallel / oracle) behind the
     streaming pump interface."""
 
-    def __init__(self, engine, level, legacy, dictionary, block_size, threads):
+    def __init__(self, engine, level, legacy, dictionary, block_size, threads,
+                 max_candidates=16, parity=False, report=None):
         self.engine, self.level, self.legacy = engine, level, legacy
         self.dictionary, self.block_size, self.threads = dictionary, block_size, threads
+        self.max_candidates, self.parity, self.report = max_candidates, parity, report
         self.buf = bytearray()
 
     def write(self, chunk, final=False) -> bytes:
@@ -188,7 +226,9 @@ class _BufferedEncoder:
             from .ops import pipeline
             return pipeline.compress(data, self.level, legacy=self.legacy,
                                      dictionary=self.dictionary,
-                                     block_size=self.block_size)
+                                     block_size=self.block_size,
+                                     max_candidates=self.max_candidates,
+                                     parity=self.parity, report=self.report)
         if self.engine == "host":
             if self.legacy:
                 error("host-parallel engine supports the modern format only")

@@ -36,12 +36,20 @@ def compress(
     block_size: int | None = None,
     max_candidates: int = 64,
     parity: bool = False,
+    report=None,
 ) -> bytes:
     """Compress via the device match kernel.  ``level`` selects only the
     frame metadata path here — the device search is always the optimal
-    (level-9) configuration; lower levels delegate to the native engine."""
+    (level-9) configuration; lower levels delegate to the native engine.
+
+    ``report``: optional utils.profiling.RunReport — filled with bytes,
+    block count and per-stage wall time (dispatch / device sync / host
+    refine+DP+emit) for the observability surface (SURVEY.md §5)."""
+    import time as _time
+
     from .. import native
 
+    t_run = _time.perf_counter()
     data = bytes(data) if not isinstance(data, (bytes, bytearray)) else bytes(data)
     if legacy and dictionary:
         raise ValueError("legacy format doesn't support dictionaries")
@@ -70,17 +78,31 @@ def compress(
     # DP/emit on earlier blocks); the window bound keeps in-flight device
     # memory constant for arbitrarily large inputs.
     WINDOW = 8  # blocks (~32 MB of input at the default block size)
+    stages: dict = {}
     for w0 in range(0, len(blocks), WINDOW):
         _process_block_window(
             out, data, vdata, d, blocks[w0 : w0 + WINDOW], legacy,
-            max_candidates, parity, native,
+            max_candidates, parity, native, stages,
         )
     out += fmt.build_end_mark(legacy)
+    if report is not None:
+        report.operation = "encode"
+        report.engine = "tpu"
+        report.bytes_in = n
+        report.bytes_out = len(out)
+        report.blocks = len(blocks)
+        report.wall_s = _time.perf_counter() - t_run
+        for k, v in stages.items():
+            report.stages[k] = report.stages.get(k, 0.0) + v
     return bytes(out)
 
 
 def _process_block_window(out, data, vdata, d, blocks, legacy,
-                          max_candidates, parity, native):
+                          max_candidates, parity, native, stages=None):
+    import time as _time
+
+    stages = {} if stages is None else stages
+    t0 = _time.perf_counter()
     SEG, SEG_BUF, TAIL, B = (match_finder.SEG, match_finder.SEG_BUF,
                              match_finder.TAIL, 8)
     # phase 1 — dispatch every segment group in the window
@@ -109,6 +131,8 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
                 jnp.asarray(cf), max_candidates=max_candidates,
             )
             per_block.setdefault(bi, []).append((group, res))
+    stages["device_dispatch"] = stages.get("device_dispatch", 0.0) + (
+        _time.perf_counter() - t0)
 
     # phase 2 — collect (device sync, main thread) and finish each block's
     # refine/DP/emit in a thread pool (the native runtime releases the GIL)
@@ -139,6 +163,7 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
 
     pool = host_par._pool(None)  # persistent: workers keep warm match tables
     jobs = []
+    t0 = _time.perf_counter()
     for bi, (start, end) in enumerate(blocks):
         bs = end - start
         vstart, vend = start + d, end + d
@@ -161,10 +186,15 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
         dists[bs - tail :] = 0
         conv[bs - tail :] = True
         jobs.append(pool.submit(finish, bi, start, end, lens, dists, conv))
+    stages["device_sync"] = stages.get("device_sync", 0.0) + (
+        _time.perf_counter() - t0)
+    t0 = _time.perf_counter()
     for (start, end), job in zip(blocks, jobs):
         payload, stored = job.result()  # frame order preserved
         out += fmt.build_block_header(len(payload), stored, legacy)
         out += payload
+    stages["host_refine_dp_emit"] = stages.get("host_refine_dp_emit", 0.0) + (
+        _time.perf_counter() - t0)
 
 
 def decompress(data, dictionary=None) -> bytes:

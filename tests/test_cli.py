@@ -140,3 +140,27 @@ def test_checksum_flag(reference, corpora):
     back = run_cli([], res.stdout, module="smallz4_tpu.cat_cli")
     assert back.stdout == data
     assert reference.decompress(res.stdout) == data
+
+
+def test_profile_flag(reference, corpora):
+    data = corpora["struct"]
+    res = run_cli(["--profile=max"], data)
+    assert res.returncode == 0, res.stderr
+    assert res.stdout == reference.compress(data, 9)
+    res = run_cli(["--profile=level3"], data)
+    assert res.stdout == reference.compress(data, 3)
+    res = run_cli(["--profile=nope"], b"x")
+    assert res.returncode != 0 and b"unknown codec profile" in res.stderr
+
+
+def test_report_flag(corpora):
+    import json
+
+    data = corpora["mixed"]
+    res = run_cli(["--profile=max", "--report"], data)
+    assert res.returncode == 0, res.stderr
+    line = res.stderr.decode().strip().splitlines()[-1]
+    rep = json.loads(line)
+    assert rep["operation"] == "encode" and rep["engine"] == "native"
+    assert rep["bytes_in"] == len(data) and rep["bytes_out"] == len(res.stdout)
+    assert rep["mbps"] > 0
