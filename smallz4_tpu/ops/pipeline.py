@@ -37,6 +37,7 @@ def compress(
     max_candidates: int = 64,
     parity: bool = False,
     report=None,
+    kernel: str | None = None,
 ) -> bytes:
     """Compress via the device match kernel.  ``level`` selects only the
     frame metadata path here — the device search is always the optimal
@@ -44,7 +45,13 @@ def compress(
 
     ``report``: optional utils.profiling.RunReport — filled with bytes,
     block count and per-stage wall time (dispatch / device sync / host
-    refine+DP+emit) for the observability surface (SURVEY.md §5)."""
+    refine+DP+emit) for the observability surface (SURVEY.md §5).
+
+    ``kernel``: device search kernel — "sort" (sorted-neighborhood Pallas
+    path, ops.sortmatch; the fast default) or "walk" (lockstep candidate
+    walk, ops.match_finder).  None reads $SMALLZ4_TPU_KERNEL, default
+    "sort"."""
+    import os as _os
     import time as _time
 
     from .. import native
@@ -77,12 +84,24 @@ def compress(
     # is dispatched up front (the device works ahead while the host runs
     # DP/emit on earlier blocks); the window bound keeps in-flight device
     # memory constant for arbitrarily large inputs.
+    if kernel is None:
+        kernel = _os.environ.get("SMALLZ4_TPU_KERNEL", "")
+    if not kernel:
+        # the sorted-neighborhood kernel is Mosaic (Pallas) code: it needs
+        # real TPU hardware; the walk kernel lowers through XLA anywhere
+        import jax
+
+        on_tpu = any("tpu" in str(d).lower() for d in jax.devices())
+        kernel = "sort" if on_tpu else "walk"
+    if kernel not in ("sort", "walk"):
+        raise ValueError(f"unknown device kernel {kernel!r}")
+
     WINDOW = 8  # blocks (~32 MB of input at the default block size)
     stages: dict = {}
     for w0 in range(0, len(blocks), WINDOW):
         _process_block_window(
             out, data, vdata, d, blocks[w0 : w0 + WINDOW], legacy,
-            max_candidates, parity, native, stages,
+            max_candidates, parity, native, stages, kernel,
         )
     out += fmt.build_end_mark(legacy)
     if report is not None:
@@ -98,8 +117,11 @@ def compress(
 
 
 def _process_block_window(out, data, vdata, d, blocks, legacy,
-                          max_candidates, parity, native, stages=None):
+                          max_candidates, parity, native, stages=None,
+                          kernel="walk"):
     import time as _time
+
+    from . import sortmatch
 
     stages = {} if stages is None else stages
     t0 = _time.perf_counter()
@@ -117,6 +139,7 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
             sv = np.full(B, SEG_BUF, np.int32)  # padding rows: nothing valid
             ev = np.zeros(B, np.int32)
             cf = np.zeros(B, bool)
+            fin = np.zeros(B, bool)
             for r, s0 in enumerate(group):
                 lo = max(s0 - HALO, vstart if legacy else 0)
                 hi = min(s0 + SEG + TAIL, vend)
@@ -126,10 +149,17 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
                 sv[r] = HALO - hl
                 ev[r] = HALO - hl + len(arr)
                 cf[r] = block_cut and s0 == vstart
-            res = match_finder.match_segments(
-                jnp.asarray(bufs), jnp.asarray(sv), jnp.asarray(ev),
-                jnp.asarray(cf), max_candidates=max_candidates,
-            )
+                fin[r] = hi == vend
+            if kernel == "sort":
+                res = sortmatch.match_segments(
+                    jnp.asarray(bufs), jnp.asarray(sv), jnp.asarray(ev),
+                    jnp.asarray(cf), jnp.asarray(fin),
+                )
+            else:
+                res = match_finder.match_segments(
+                    jnp.asarray(bufs), jnp.asarray(sv), jnp.asarray(ev),
+                    jnp.asarray(cf), max_candidates=max_candidates,
+                )
             per_block.setdefault(bi, []).append((group, res))
     stages["device_dispatch"] = stages.get("device_dispatch", 0.0) + (
         _time.perf_counter() - t0)

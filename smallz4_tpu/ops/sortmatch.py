@@ -46,6 +46,7 @@ from . import sortnet
 
 LANES = 128
 INVALID_POS = jnp.int32(1 << 30)
+HALO = fmt.MAX_DISTANCE  # 64 KB - 1 window history (match_finder.HALO)
 
 # contiguous neighborhood (drives the convergence proof) + sparse far probes
 NEAR_PROBES = tuple(range(1, 9))
@@ -195,20 +196,33 @@ def _mix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_entries", "chain_steps"))
 def match_segment(
-    buf: jnp.ndarray,          # uint8[n_entries + pad] segment buffer
+    buf: jnp.ndarray,          # uint8[>= n_entries + 16] segment buffer
     start_valid: jnp.ndarray,  # int32: first real byte
     end_valid: jnp.ndarray,    # int32: one past last real byte
     n_entries: int = 1 << 17,  # sortable positions (power of two)
     chain_steps: int = 14,
+    cut_boundary=False,        # bool: block-boundary chain cut at HALO-12
+    limit_final=True,          # bool: end_valid is the true block limit
 ):
     """Match search over every position of ``buf[:n_entries]``.
 
     Returns position-order (lens, dists, conv): lens >= 1 with literal
     convention len=1 (match_finder contract), verified distances, and the
     bit-exactness certificate per the module docstring.
+
+    ``cut_boundary``: reproduce the reference's block-boundary chain cut
+    (oracle.py; smallz4.h re-insertion anomaly): candidates sharing the
+    gram of position HALO-BLOCK_END_NO_MATCH that precede it are
+    unreachable from the new block's searches.
+
+    ``limit_final``: when False, ``end_valid`` is a segment read-ahead
+    bound (the block continues beyond this buffer), so claims that hit
+    the cap are truncation artifacts and must not be marked converged.
     """
     n = n_entries
     assert buf.shape[0] >= n + 16, "need a 16-byte gram/payload lookahead"
+    cut_boundary = jnp.asarray(cut_boundary, bool)
+    limit_final = jnp.asarray(limit_final, bool)
     c = buf.astype(jnp.uint32)
     g = c[:-3] | (c[1:-2] << 8) | (c[2:-1] << 16) | (c[3:] << 24)
     g4 = g[:n]
@@ -220,6 +234,9 @@ def match_segment(
 
     pos = jnp.arange(n, dtype=jnp.int32)
     valid = (pos >= start_valid) & (pos + fmt.BLOCK_END_NO_MATCH <= end_valid)
+    cut_pos = min(HALO - fmt.BLOCK_END_NO_MATCH, n - 1)  # static
+    precut = cut_boundary & (g4 == g4[cut_pos]) & (pos < cut_pos)
+    valid = valid & ~precut
     pos_t = jnp.where(valid, pos, pos + INVALID_POS)
 
     s_k1, _, s_pos, s_e1, s_e2 = sortnet.sort_records(
@@ -260,9 +277,46 @@ def match_segment(
     truncated = (flags1 & 1) != 0
     group_more = (flags1 & 2) != 0
     conv = (~truncated & ~group_more) | ~valid
-    # a d=1 claim that slammed into the block cap is complete AND provably
-    # the nearest achiever (d=1 is the minimum distance); farther claims
-    # that hit the cap stay unconverged — a nearer equal-length candidate
-    # could exist, and the reference keeps the nearest among equals
-    conv = conv | (match & (lens3 >= cap) & (dists1 == 1))
+    # a d=1 claim that slammed into the *block* cap is complete AND
+    # provably the nearest achiever (d=1 is the minimum distance);
+    # farther claims that hit the cap stay unconverged — a nearer
+    # equal-length candidate could exist, and the reference keeps the
+    # nearest among equals.  A segment read-ahead cap proves nothing.
+    conv = conv | (limit_final & match & (lens3 >= cap) & (dists1 == 1))
+    # any claim capped by a non-final segment bound is a truncation
+    conv = conv & ~(match & (lens3 >= cap) & ~limit_final)
     return lens, dists, conv
+
+
+# production segment geometry (shared with ops.match_finder / pipeline):
+# [ 64 KB-1 halo | 64 Ki searched positions | 1 pad ] = 2^17 records; the
+# buffer additionally carries the pipeline's read-ahead tail.
+N_ENTRIES = 1 << 17
+SEG = N_ENTRIES - HALO - 1  # 65536 searched positions per segment
+
+
+@functools.partial(jax.jit, static_argnames=("chain_steps",))
+def match_segments(
+    bufs: jnp.ndarray,         # uint8[B, >= N_ENTRIES + 16]
+    start_valid: jnp.ndarray,  # int32[B]
+    end_valid: jnp.ndarray,    # int32[B]
+    cut_boundary: jnp.ndarray,  # bool[B]
+    limit_final: jnp.ndarray,   # bool[B]: end_valid == block limit
+    chain_steps: int = 14,
+):
+    """Batched sorted-neighborhood search — drop-in for
+    ops.match_finder.match_segments (same compact [B, SEG] outputs).
+    Each row is one segment buffer [halo | SEG positions | read-ahead].
+    """
+    def one(buf, sv, ev, cut, fin):
+        lens, dists, conv = match_segment(
+            buf, sv, ev, n_entries=N_ENTRIES, chain_steps=chain_steps,
+            cut_boundary=cut, limit_final=fin)
+        s = slice(HALO, HALO + SEG)
+        return lens[s], dists[s], conv[s]
+
+    lens, dists, conv = jax.vmap(one)(
+        bufs, start_valid, end_valid, cut_boundary, limit_final)
+    saturated = lens >= 65536
+    lens16 = jnp.minimum(lens, 65535).astype(jnp.uint16)
+    return lens16, dists.astype(jnp.uint16), conv & ~saturated
