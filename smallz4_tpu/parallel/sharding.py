@@ -111,7 +111,10 @@ def sharded_match_step(mesh: Mesh, block_size: int, max_candidates: int = 64):
             # padding blocks (lengths 0) and short final blocks
             start_valid = (HALO - hist_len).astype(jnp.int32)
             end_valid = (HALO + lengths_l).astype(jnp.int32)
-            cut = gidx > 0  # boundary chain cut for carried-history blocks
+            # boundary chain cut for carried-history blocks (reference
+            # re-insertion anomaly) — same gate as pipeline/native: only
+            # when the block start clears the full window + tail rule
+            cut = gidx * s >= HALO + fmt.BLOCK_END_NO_MATCH
             lens, dists, conv = _match_batch(ctx, start_valid, end_valid, cut,
                                              max_candidates)
             return lens, dists, conv
