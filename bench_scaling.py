@@ -25,6 +25,9 @@ if not os.environ.get("SMALLZ4_TPU_SCALING_REAL"):
     if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                    + " --xla_force_host_platform_device_count=8")
+    # the env var too: utils.jaxcfg keys the persistent compile cache on it
+    # (CPU AOT artifacts must not land in the axon cache dir and vice versa)
+    os.environ["JAX_PLATFORMS"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
@@ -35,6 +38,18 @@ from smallz4_tpu.parallel import sharding  # noqa: E402
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _mixed_corpus(n: int) -> bytes:
+    """Same mix as bench.py (text / structured / binary / runs)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    return bench.make_corpus(n)
 
 
 def main() -> int:
@@ -73,6 +88,35 @@ def main() -> int:
             f"(efficiency {eff*100:.0f}%)")
         print(json.dumps({
             "metric": f"sharded_match_step_{nd}dev",
+            "value": round(mbps, 2),
+            "unit": "MB/s",
+            "vs_baseline": round(eff, 3),
+        }))
+
+    # end-to-end: full compress_sharded (device match + host refine/DP/emit
+    # + ordered frame assembly), constant per-device work, verified output
+    from smallz4_tpu import native
+
+    base_e2e = None
+    for nd in sizes:
+        n_bytes = nd * per_dev_blocks * block_size
+        corpus = _mixed_corpus(n_bytes)
+        mesh = sharding.make_mesh(nd)
+        frame = sharding.compress_sharded(corpus, mesh, block_size=block_size,
+                                          max_candidates=8)  # compile + warm
+        assert native.decompress(frame) == corpus
+        t0 = time.time()
+        frame = sharding.compress_sharded(corpus, mesh, block_size=block_size,
+                                          max_candidates=8)
+        dt = time.time() - t0
+        mbps = n_bytes / dt / 1e6
+        if base_e2e is None:
+            base_e2e = mbps / nd
+        eff = mbps / (base_e2e * nd)
+        log(f"e2e n={nd}: {dt*1000:.0f} ms for {n_bytes/1e6:.0f} MB -> "
+            f"{mbps:.1f} MB/s (efficiency {eff*100:.0f}%)")
+        print(json.dumps({
+            "metric": f"compress_sharded_e2e_{nd}dev",
             "value": round(mbps, 2),
             "unit": "MB/s",
             "vs_baseline": round(eff, 3),

@@ -77,8 +77,69 @@ def _stage(state, j: int, k: int, idx: jnp.ndarray, n_keys: int):
     return tuple(jnp.where(keep, s, p) for s, p in zip(state, partners))
 
 
-def _bitonic_kernel(n: int, n_keys: int, n_planes: int, refs):
-    """Full network over one resident (R,128) record set."""
+def _schedule(n: int) -> tuple[list[int], list[int]]:
+    """Flat bitonic stage schedule: (k, log2 j) per compare-exchange pass."""
+    ks, jls = [], []
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            ks.append(k)
+            jls.append(j.bit_length() - 1)
+            j //= 2
+        k *= 2
+    return ks, jls
+
+
+def _stage_dyn(state, jl, k, idx, n_keys: int, log_n: int):
+    """One compare-exchange stage with *traced* (jl, k).
+
+    The partner exchange dispatches through one lax.switch over the
+    log2(n) possible XOR distances, so the generated code is O(log n)
+    instead of O(log^2 n) — the monolithic unrolled network blows past
+    the Mosaic compiler's budget at n = 2^17."""
+    def make(jl_static: int):
+        j = 1 << jl_static
+        return lambda st: tuple(_partner(p, j) for p in st)
+
+    partners = jax.lax.switch(jl, [make(b) for b in range(log_n)], state)
+    j = jnp.left_shift(jnp.int32(1), jl)
+    mine_lt = _lex_lt(state, partners, n_keys)
+    lower = (idx & j) == 0
+    ascending = (idx & k) == 0
+    # keep own value iff (I am the min-slot) == (my value is the smaller)
+    keep = (lower == ascending) == mine_lt
+    return tuple(jnp.where(keep, s, p) for s, p in zip(state, partners))
+
+
+def _bitonic_kernel_compact(n: int, n_keys: int, n_planes: int, refs):
+    """Full network over one resident (R,128) record set; stage params
+    stream from SMEM and the stage loop is a fori_loop.  Generated code is
+    O(log n) — used above the unrolled kernel's compile budget (the
+    Mosaic code size of the unrolled network is stages x rows/8 vregs:
+    fine at n <= 2^16, explosive at 2^17+).  Runtime is ~4x the unrolled
+    kernel (lax.switch predication), so production sorts stay unrolled."""
+    rows = n // LANES
+    log_n = n.bit_length() - 1
+    idx = _flat_iota(rows)
+    k_ref, jl_ref = refs[0], refs[1]
+    ins = refs[2 : 2 + n_planes]
+    outs = refs[2 + n_planes :]
+    state = tuple(r[:] for r in ins)
+    n_stages = log_n * (log_n + 1) // 2
+
+    def body(s, state):
+        return _stage_dyn(state, jl_ref[0, s], k_ref[0, s], idx,
+                          n_keys, log_n)
+
+    state = jax.lax.fori_loop(0, n_stages, body, state)
+    for o, s in zip(outs, state):
+        o[:] = s
+
+
+def _bitonic_kernel_unrolled(n: int, n_keys: int, n_planes: int, refs):
+    """Fully unrolled network: every stage has static roll distances —
+    the fast production variant for n <= 2^16."""
     rows = n // LANES
     idx = _flat_iota(rows)
     ins = refs[:n_planes]
@@ -95,8 +156,31 @@ def _bitonic_kernel(n: int, n_keys: int, n_planes: int, refs):
         o[:] = s
 
 
-@functools.partial(jax.jit, static_argnames=("n_keys",))
-def sort_records(*planes, n_keys: int = 1):
+def _to_planes(planes, n_keys):
+    rows = planes[0].shape[0] // LANES
+    shaped = []
+    for i, p in enumerate(planes):
+        q = p.view(jnp.int32) if p.dtype == jnp.uint32 else p.astype(jnp.int32)
+        if i < n_keys:
+            q = q ^ SIGN  # unsigned order on an int32 plane
+        shaped.append(q.reshape(rows, LANES))
+    return shaped
+
+
+def _from_planes(outs, planes, n, n_keys):
+    result = []
+    for i, o in enumerate(outs):
+        q = o.reshape(n)
+        if i < n_keys:
+            q = q ^ SIGN
+        if planes[i].dtype == jnp.uint32:
+            q = q.view(jnp.uint32)
+        result.append(q)
+    return tuple(result)
+
+
+@functools.partial(jax.jit, static_argnames=("n_keys", "unroll"))
+def sort_records(*planes, n_keys: int = 1, unroll: bool | None = None):
     """Sort records lexicographically by the first ``n_keys`` planes
     (uint32 ascending) with the next plane (pos, int32) as tiebreak; any
     remaining planes ride along as payload.
@@ -109,14 +193,59 @@ def sort_records(*planes, n_keys: int = 1):
     assert n & (n - 1) == 0 and n >= 1024, n
     assert len(planes) >= n_keys + 1
     rows = n // LANES
-    shaped = []
-    for i, p in enumerate(planes):
-        q = p.view(jnp.int32) if p.dtype == jnp.uint32 else p.astype(jnp.int32)
-        if i < n_keys:
-            q = q ^ SIGN  # unsigned order on an int32 plane
-        shaped.append(q.reshape(rows, LANES))
+    if unroll is None:
+        unroll = n <= (1 << 16)
+    shaped = _to_planes(planes, n_keys)
 
-    kernel = functools.partial(_bitonic_kernel, n, n_keys, len(planes))
+    if unroll:
+        kernel = functools.partial(
+            _bitonic_kernel_unrolled, n, n_keys, len(planes))
+        extra_in, extra_specs = (), []
+    else:
+        ks, jls = _schedule(n)
+        extra_in = (jnp.asarray([ks], jnp.int32), jnp.asarray([jls], jnp.int32))
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        kernel = functools.partial(
+            _bitonic_kernel_compact, n, n_keys, len(planes))
+
+    outs = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
+                   for _ in planes],
+        in_specs=extra_specs
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in planes],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in planes],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(*extra_in, *shaped)
+    return _from_planes(outs, planes, n, n_keys)
+
+
+@functools.partial(jax.jit, static_argnames=("n_keys",))
+def merge_sorted(*planes, n_keys: int = 1):
+    """Bitonic merge of two sorted halves: ``planes[i][:n/2]`` and
+    ``planes[i][n/2:]`` must each be sorted ascending by the lex key.
+    One flip + log2(n) static stages — the cheap way to combine a chunk's
+    sorted records with its predecessor's (64 KB window adjacency) without
+    re-sorting: n log n work becomes n."""
+    n = planes[0].shape[0]
+    assert n & (n - 1) == 0 and n >= 2048, n
+    h = n // 2
+    rows = n // LANES
+    # reverse the upper half => the whole array is one bitonic sequence
+    flipped = [jnp.concatenate([p[:h], p[h:][::-1]]) for p in planes]
+    shaped = _to_planes(flipped, n_keys)
+
+    def kernel(refs):
+        idx = _flat_iota(rows)
+        ins, outs = refs[: len(planes)], refs[len(planes) :]
+        state = tuple(r[:] for r in ins)
+        j = n // 2
+        while j >= 1:
+            state = _stage(state, j, n, idx, n_keys)
+            j //= 2
+        for o, s in zip(outs, state):
+            o[:] = s
+
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)
@@ -125,12 +254,4 @@ def sort_records(*planes, n_keys: int = 1):
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in planes],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
     )(*shaped)
-    result = []
-    for i, o in enumerate(outs):
-        q = o.reshape(n)
-        if i < n_keys:
-            q = q ^ SIGN
-        if planes[i].dtype == jnp.uint32:
-            q = q.view(jnp.uint32)
-        result.append(q)
-    return tuple(result)
+    return _from_planes(outs, planes, n, n_keys)

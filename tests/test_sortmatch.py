@@ -118,3 +118,35 @@ def test_match_segment_partial_validity():
             assert q >= 100  # candidates never reach into pre-start padding
             assert p + l <= limit
             assert (data[q : q + l] == data[p : p + l]).all()
+
+
+def test_merge_sorted_halves():
+    rng = np.random.default_rng(5)
+    n = 2048
+    h = n // 2
+    k1 = rng.integers(0, 6, n).astype(np.uint32)
+    pos = np.arange(n, dtype=np.int32)
+    pay = rng.integers(0, 1 << 30, n).astype(np.int32)
+    # sort each half independently (ground truth by lexsort)
+    for lo, hi in ((0, h), (h, n)):
+        order = np.lexsort((pos[lo:hi], k1[lo:hi])) + lo
+        k1[lo:hi], pos[lo:hi], pay[lo:hi] = k1[order], pos[order], pay[order]
+    s1, sp, spay = sortnet.merge_sorted(
+        jnp.asarray(k1), jnp.asarray(pos), jnp.asarray(pay), n_keys=1)
+    order = np.lexsort((pos, k1))
+    np.testing.assert_array_equal(np.asarray(s1), k1[order])
+    np.testing.assert_array_equal(np.asarray(sp), pos[order])
+    np.testing.assert_array_equal(np.asarray(spay), pay[order])
+
+
+def test_sort_records_compact_variant():
+    rng = np.random.default_rng(9)
+    n = 2048
+    k1 = rng.integers(0, 50, n).astype(np.uint32)
+    pos = np.arange(n, dtype=np.int32)
+    rng.shuffle(pos)
+    s1, sp = sortnet.sort_records(jnp.asarray(k1), jnp.asarray(pos),
+                                  n_keys=1, unroll=False)
+    order = np.lexsort((pos, k1))
+    np.testing.assert_array_equal(np.asarray(s1), k1[order])
+    np.testing.assert_array_equal(np.asarray(sp), pos[order])
