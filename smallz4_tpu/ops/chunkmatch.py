@@ -1,0 +1,284 @@
+"""Chunk-merge device matcher: the production TPU encode kernel.
+
+The reference's hot loop (smallz4.h:173-255,603-744) is a per-position
+hash-chain walk — per-lane random gathers, the one primitive this chip
+lacks.  ops/sortmatch.py re-derived the search as sorted-neighborhood
+probing but re-sorts every segment's 64 KB halo with it (two full 2^17
+bitonic networks per 64 Ki positions, and 2^17 networks blow Mosaic's
+compile budget).  This module restructures the search around *chunks*:
+
+  1. **sort once per chunk** — every 64 Ki-position chunk is sorted a
+     single time (unrolled 2^16 bitonic, ops/sortnet.py) by the key
+     (gram4, prefix-hash15, pos).
+  2. **merge, don't re-sort** — the 64 KB window means a chunk's
+     candidates live in itself and its left neighbor; one bitonic merge
+     (flip + 17 stages) of the two already-sorted record sets replaces a
+     second full sort.
+  3. **probe** sorted neighbors at static offsets (contiguous 1..8 plus a
+     sparse far set): equal-gram candidates are adjacent, byte-verified
+     to LCP 12 via two payload words, zero gathers.
+  4. **compact** the current chunk's records out of the merged array with
+     an LSB-first binary-shift routing (monotone packing is conflict-free
+     on a butterfly — validated exhaustively), then **unsort** them by
+     position (2^16 bitonic).
+  5. **chain** same-distance claims in position order (log-step doubling,
+     XLA shifts) — verified 12-byte claims extend into exact unbounded
+     match lengths; distance-1 byte runs resolve the same way.
+
+Record planes (4 x int32 per record):
+  k1    = gram4 (the exact 4-byte value, unsigned order)
+  combo = prefix-hash(15 bits) | invalid(1) | pos(17 bits... bits [16:0])
+          — key 2 and position in one plane; bit31 sinks non-candidates
+          to their gram group's tail
+  e1,e2 = bytes pos+4..11 (byte-verification payload)
+
+Convergence certificate (bit-parity contract, reference nearest-first
+semantics): a position whose gram group fits inside the contiguous +-8
+probe window and whose LCP stayed below the 12-byte verification reach
+has provably seen every window candidate — its (len, nearest dist)
+equals the reference -9 search bit-for-bit.  Everything else is refined
+on the host in parity mode (native.match_refine).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import format as fmt
+from . import sortnet
+from .sortmatch import _ext_lcp, _flat_shift, _flat_shift_neg
+
+LANES = 128
+CHUNK = 1 << 16          # positions per chunk
+PAIR = CHUNK * 2         # merged record count
+POS_BITS = 17
+POS_MASK = (1 << POS_BITS) - 1
+INVALID_BIT = jnp.int32(-0x80000000)  # bit31 of combo
+
+NEAR_PROBES = tuple(range(1, 9))
+FAR_PROBES = (12, 16, 24, 32, 48, 64)
+PROBES = NEAR_PROBES + FAR_PROBES
+EXT_REACH = 12
+CHAIN_STEPS = 16         # doubling covers runs/matches to 64 Ki
+
+
+def _mix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    h = a ^ (b * jnp.uint32(0x9E3779B1))
+    return h * jnp.uint32(0x85EBCA77)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def make_records(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
+    """Record planes for one chunk.  ``buf`` is uint8[chunk + 16] (the 16
+    lookahead bytes are the next chunk's real prefix); positions with
+    local index outside [valid_lo, valid_hi) are marked non-candidates."""
+    c = buf.astype(jnp.uint32)
+    g = c[:-3] | (c[1:-2] << 8) | (c[2:-1] << 16) | (c[3:] << 24)
+    k1 = g[:chunk]
+    e1 = g[4 : chunk + 4]
+    e2 = g[8 : chunk + 8]
+    h8 = _mix(k1, e1)
+    h16 = _mix(h8, _mix(e2, g[12 : chunk + 12]))
+    k2_14 = (h16 >> 18).astype(jnp.int32)  # 14 bits: 31 is the invalid flag
+    pos = jnp.arange(chunk, dtype=jnp.int32)
+    combo = (k2_14 << POS_BITS) | pos
+    valid = (pos >= valid_lo) & (pos < valid_hi)
+    combo = jnp.where(valid, combo, combo | INVALID_BIT)
+    return k1, combo.view(jnp.uint32), e1, e2
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def sort_chunk(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
+    """Sort one chunk's records by (gram4, prefix-hash, validity, pos)."""
+    k1, combo, e1, e2 = make_records(buf, valid_lo, valid_hi, chunk=chunk)
+    return sortnet.sort_records(k1, combo, e1.view(jnp.int32),
+                                e2.view(jnp.int32), n_keys=2)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def empty_halo(chunk: int = CHUNK):
+    """All-invalid sorted halo planes (stream start / legacy block start:
+    no history carries in)."""
+    return sort_chunk(jnp.zeros(chunk + 16, jnp.uint8),
+                      jnp.int32(0), jnp.int32(0), chunk=chunk)
+
+
+def _probe_kernel(chunk, refs):
+    """Neighbor probes over merged sorted planes.
+
+    in:  cut (SMEM (1,2): cut_gram, cut_pos), k1, combo, e1, e2
+    out: best_len (0 or 4..12), best_dist, flags (bit0 ext-capped,
+         bit1 group extends past the +-8 window)
+    """
+    cut_ref, k1_ref, combo_ref, e1_ref, e2_ref, len_ref, dist_ref, flag_ref = refs
+    cut_gram, cut_pos = cut_ref[0, 0], cut_ref[0, 1]
+    k1, combo, e1, e2 = k1_ref[:], combo_ref[:], e1_ref[:], e2_ref[:]
+    rows = k1.shape[0]
+    n = rows * LANES
+    slot = sortnet._flat_iota(rows)
+
+    raw = combo & POS_MASK
+    best_len = jnp.zeros_like(k1)
+    best_dist = jnp.zeros_like(k1)
+    group_more = jnp.zeros_like(k1, dtype=jnp.bool_)
+
+    for sk in PROBES:
+        for sgn in (1, -1):
+            k = sk * sgn
+            in_range = (slot + k >= 0) & (slot + k < n)
+            nb_k1 = _flat_shift(k1, k)
+            eq4 = in_range & (nb_k1 == k1)
+            if sk == 8:
+                group_more = group_more | eq4
+            nb_combo = _flat_shift(combo, k)
+            nb_raw = nb_combo & POS_MASK
+            d = raw - nb_raw
+            ok = (eq4 & (nb_combo >= 0) & (d >= 1) & (d <= fmt.MAX_DISTANCE)
+                  & ~((nb_k1 == cut_gram) & (nb_raw < cut_pos)))
+            nb_e1 = _flat_shift(e1, k)
+            nb_e2 = _flat_shift(e2, k)
+            lcp = jnp.where(ok, 4 + _ext_lcp(e1 ^ nb_e1, e2 ^ nb_e2), 0)
+            better = (lcp > best_len) | (
+                (lcp == best_len) & (lcp >= 4) & (d < best_dist))
+            best_len = jnp.where(better & ok, lcp, best_len)
+            best_dist = jnp.where(better & ok, d, best_dist)
+
+    flags = (best_len >= EXT_REACH).astype(jnp.int32) \
+        | (group_more.astype(jnp.int32) << 1)
+    len_ref[:] = best_len
+    dist_ref[:] = best_dist
+    flag_ref[:] = flags
+
+
+def _compact_kernel(chunk, refs):
+    """Pack records of the *current* chunk (raw pos >= chunk) to the
+    front, preserving order: LSB-first binary-shift routing (conflict-free
+    for monotone packing).  Payloads: raw pos (local), len, dist, flags."""
+    combo_ref, len_ref, dist_ref, flag_ref = refs[:4]
+    outs = refs[4:]
+    combo = combo_ref[:]
+    rows = combo.shape[0]
+    raw = combo & POS_MASK
+    keep = raw >= chunk
+
+    # dst = exclusive prefix count of keep (Hillis-Steele over the flat
+    # plane), so shift = slot - dst
+    slot = sortnet._flat_iota(rows)
+    ps = keep.astype(jnp.int32)
+    k = 1
+    while k < rows * LANES:
+        ps = ps + jnp.where(slot >= k, _flat_shift_neg(ps, k), 0)
+        k *= 2
+    dst = ps - 1  # inclusive -> index of each kept record
+    shift = jnp.where(keep, slot - dst, 0)
+
+    payload = [raw - chunk, len_ref[:], dist_ref[:], flag_ref[:]]
+    alive = keep
+    s = 1
+    while s < rows * LANES:
+        mv_in = _flat_shift(alive & ((shift & s) != 0), s)
+        mv_in = mv_in & (slot + s < rows * LANES)
+        stay = alive & ((shift & s) == 0)
+        payload = [jnp.where(mv_in, _flat_shift(p, s), p) for p in payload]
+        shift = jnp.where(mv_in, _flat_shift(shift, s) - s, shift)
+        alive = mv_in | stay
+        s *= 2
+    for o, p in zip(outs, payload):
+        o[:] = p
+
+
+def _pallas_planes(kernel, planes, n_out, scalars=None):
+    rows = planes[0].shape[0] // LANES
+    shaped = [p.reshape(rows, LANES) for p in planes]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(planes)
+    args = shaped
+    if scalars is not None:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = [scalars] + shaped
+    outs = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * n_out,
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_out,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
+    )(*args)
+    return tuple(o.reshape(planes[0].shape[0]) for o in outs)
+
+
+def _shift_up(x: jnp.ndarray, s: int, fill):
+    """out[i] = x[i + s] (XLA slice + pad — position-order chain step)."""
+    if s >= x.shape[0]:
+        return jnp.full_like(x, fill)
+    return jnp.concatenate([x[s:], jnp.full((s,), fill, x.dtype)])
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def probe_pair(
+    halo,                 # (k1, combo, e1, e2) sorted planes of chunk i-1
+    cur,                  # same for chunk i
+    cut_gram,             # int32: gram at the boundary-cut position
+    cut_pos,              # int32: local pos of the cut in the halo (-1: off)
+    valid_lo,             # int32: first searchable local pos of chunk i
+    valid_hi,             # int32: one past last candidate pos of chunk i
+    match_limit,          # int32: block match cap in chunk-i local coords
+    chunk: int = CHUNK,
+):
+    """Match search for every position of chunk i against the merged
+    (chunk i-1, chunk i) candidate set.  Returns (lens u16, dists u16,
+    conv bool) of shape [CHUNK] in position order."""
+    # rebase chunk i positions to [chunk, 2*chunk) and merge
+    cur_combo = (cur[1].view(jnp.int32) + chunk).view(jnp.uint32)
+    planes = [jnp.concatenate([h, c]) for h, c in
+              zip(halo, (cur[0], cur_combo, cur[2], cur[3]))]
+    m_k1, m_combo, m_e1, m_e2 = sortnet.merge_sorted(*planes, n_keys=2)
+
+    cut = jnp.stack([cut_gram, cut_pos]).reshape(1, 2).astype(jnp.int32)
+    p_len, p_dist, p_flag = _pallas_planes(
+        functools.partial(_probe_kernel, chunk),
+        [m_k1.view(jnp.int32), m_combo.view(jnp.int32), m_e1, m_e2],
+        3, scalars=cut)
+
+    c_raw, c_len, c_dist, c_flag = _pallas_planes(
+        functools.partial(_compact_kernel, chunk),
+        [m_combo.view(jnp.int32), p_len, p_dist, p_flag], 4)
+    c_raw, c_len, c_dist, c_flag = (x[:chunk] for x in
+                                    (c_raw, c_len, c_dist, c_flag))
+
+    # unsort to position order (raw pos is a permutation of [0, CHUNK))
+    _, lens0, dists0, flags0 = sortnet.sort_records(
+        c_raw.view(jnp.uint32), c_len, c_dist, c_flag, n_keys=1)
+
+    # same-distance doubling: 12-byte claims extend to exact full lengths
+    # (distance-1 byte runs resolve here too); claims stay byte-verified
+    lens1 = lens0
+    s = 1
+    for _ in range(CHAIN_STEPS):
+        nb_len = _shift_up(lens1, s, 0)
+        nb_dist = _shift_up(dists0, s, 0)
+        grow = (nb_dist == dists0) & (dists0 >= 1) & (lens1 >= s)
+        lens1 = jnp.where(grow, jnp.maximum(lens1, s + nb_len), lens1)
+        s *= 2
+
+    pos = jnp.arange(chunk, dtype=jnp.int32)
+    valid = (pos >= valid_lo) & (pos < valid_hi)
+    cap = jnp.maximum(match_limit - pos, 0)
+    lens2 = jnp.minimum(lens1, cap)
+    match = valid & (lens2 >= fmt.MIN_MATCH)
+    lens = jnp.where(match, lens2, 1)
+    dists = jnp.where(match, dists0, 0)
+
+    truncated = (flags0 & 1) != 0
+    group_more = (flags0 & 2) != 0
+    conv = (~truncated & ~group_more) | ~valid
+    # a d=1 claim at the true block cap is complete and provably the
+    # nearest achiever; farther at-cap claims stay unconverged (the
+    # reference keeps the nearest among equally long matches)
+    conv = conv | (match & (lens2 >= cap) & (dists0 == 1))
+    saturated = lens > 65535
+    conv = conv & ~saturated
+    return (jnp.minimum(lens, 65535).astype(jnp.uint16),
+            dists.astype(jnp.uint16), conv)
