@@ -30,7 +30,7 @@ def timed(fn, args, reps=4):
     return best
 
 
-def delta(make, m1=1, m2=4):
+def delta(make, m1=1, m2=2):
     f1, a = make(m1)
     f2, _ = make(m2)
     t0 = time.time(); jax.block_until_ready(f1(*a)); c1 = time.time() - t0
@@ -97,7 +97,7 @@ def bench_match(n_entries):
             rng.integers(97, 102, n_entries + 16).astype(np.uint8))
         return f, (buf,)
     try:
-        per, c1 = delta(make, 1, 3)
+        per, c1 = delta(make, 1, 2)
         log(f"match_segment n={n_entries}: compile={c1:.1f}s "
             f"per={per*1e3:.3f}ms ({n_entries/per/1e6:.1f} MB/s searched)")
     except Exception as e:  # noqa: BLE001
@@ -107,10 +107,8 @@ def bench_match(n_entries):
 if __name__ == "__main__":
     log("devices:", jax.devices())
     t_all = time.time()
-    bench_sort(1 << 16, 4, n_keys=1)
     bench_sort(1 << 16, 5, n_keys=2)
     bench_sort(1 << 17, 5, n_keys=2)
-    bench_sort(1 << 17, 4, n_keys=1)
     bench_probe(1 << 17)
     bench_match(1 << 17)
     log(f"total {time.time()-t_all:.0f}s")

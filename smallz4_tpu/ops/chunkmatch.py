@@ -154,39 +154,63 @@ def _probe_kernel(chunk, refs):
     flag_ref[:] = flags
 
 
+def _prefix_count(keep, slot, rows):
+    """Inclusive prefix count of ``keep`` (Hillis-Steele over the flat
+    plane)."""
+    ps = keep.astype(jnp.int32)
+    k = 1
+    while k < rows * LANES:
+        ps = ps + jnp.where(slot >= k, _flat_shift_neg(ps, k), 0)
+        k *= 2
+    return ps
+
+
+def _route_front(keep, slot, rows, payload):
+    """Order-preserving compaction of ``keep`` slots to the front:
+    LSB-first binary-shift routing (conflict-free for monotone packing —
+    validated exhaustively in tests/test_chunkmatch.py)."""
+    ps = _prefix_count(keep, slot, rows)
+    shift = jnp.where(keep, slot - (ps - 1), 0)
+    alive = keep
+    s = 1
+    while s < rows * LANES:
+        # Mosaic can't rotate i1 vectors: shift an int32 0/1 mask instead
+        mover = jnp.where(alive & ((shift & s) != 0), 1, 0)
+        mv_in = (_flat_shift(mover, s) == 1) & (slot + s < rows * LANES)
+        stay = alive & ((shift & s) == 0)
+        payload = [jnp.where(mv_in, _flat_shift(p, s), p) for p in payload]
+        shift = jnp.where(mv_in, _flat_shift(shift, s) - s, shift)
+        alive = mv_in | stay
+        s *= 2
+    return payload, ps
+
+
+def _bitmask_words(flag, slot, rows):
+    """Pack a 0/1 plane into bitmask words: word w = bits of flat slots
+    [32w, 32w+32), compacted to the front (n/32 meaningful words)."""
+    acc = flag << (slot & 31)
+    s = 1
+    while s < 32:
+        nxt = _flat_shift(acc, s)
+        acc = jnp.where((slot & 31) + s < 32, acc | nxt, acc)
+        s *= 2
+    (words,), _ = _route_front((slot & 31) == 0, slot, rows, [acc])
+    return words
+
+
 def _compact_kernel(chunk, refs):
     """Pack records of the *current* chunk (raw pos >= chunk) to the
-    front, preserving order: LSB-first binary-shift routing (conflict-free
-    for monotone packing).  Payloads: raw pos (local), len, dist, flags."""
+    front, preserving order.  Payloads: raw pos (local), len, dist,
+    flags."""
     combo_ref, len_ref, dist_ref, flag_ref = refs[:4]
     outs = refs[4:]
     combo = combo_ref[:]
     rows = combo.shape[0]
     raw = combo & POS_MASK
     keep = raw >= chunk
-
-    # dst = exclusive prefix count of keep (Hillis-Steele over the flat
-    # plane), so shift = slot - dst
     slot = sortnet._flat_iota(rows)
-    ps = keep.astype(jnp.int32)
-    k = 1
-    while k < rows * LANES:
-        ps = ps + jnp.where(slot >= k, _flat_shift_neg(ps, k), 0)
-        k *= 2
-    dst = ps - 1  # inclusive -> index of each kept record
-    shift = jnp.where(keep, slot - dst, 0)
-
-    payload = [raw - chunk, len_ref[:], dist_ref[:], flag_ref[:]]
-    alive = keep
-    s = 1
-    while s < rows * LANES:
-        mv_in = _flat_shift(alive & ((shift & s) != 0), s)
-        mv_in = mv_in & (slot + s < rows * LANES)
-        stay = alive & ((shift & s) == 0)
-        payload = [jnp.where(mv_in, _flat_shift(p, s), p) for p in payload]
-        shift = jnp.where(mv_in, _flat_shift(shift, s) - s, shift)
-        alive = mv_in | stay
-        s *= 2
+    payload, _ = _route_front(
+        keep, slot, rows, [raw - chunk, len_ref[:], dist_ref[:], flag_ref[:]])
     for o, p in zip(outs, payload):
         o[:] = p
 
@@ -207,6 +231,131 @@ def _pallas_planes(kernel, planes, n_out, scalars=None):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 << 20),
     )(*args)
     return tuple(o.reshape(planes[0].shape[0]) for o in outs)
+
+
+def _pack_kernel(chunk, refs):
+    """Head/delta packing of the position-order match arrays — shrinks the
+    device->host result traffic ~6x (the tunnel/PCIe link prices every
+    byte).  A position is *predicted* when its claim continues the
+    predecessor's match: (len-1, same dist) after len >= 5, else literal
+    (1, 0).  Unpredicted positions are heads; we ship a head bitmask
+    (1 bit/pos) plus the compacted (len16 | dist16) head words, plus the
+    convergence certificate as a second bitmask.
+
+    in:  lens, dists, conv (position order, int32)
+    out: bits (chunk/32 words, bit i of word w = head at 32w+i),
+         packed (len16|dist16 at head rank), n_heads (lane 0),
+         conv_bits (chunk/32 words, bit = converged)
+    """
+    len_ref, dist_ref, conv_ref, bits_ref, packed_ref, count_ref, cbits_ref = refs
+    lens, dists = len_ref[:], dist_ref[:]
+    rows = lens.shape[0]
+    slot = sortnet._flat_iota(rows)
+
+    prev_len = _flat_shift_neg(lens, 1)
+    prev_dist = _flat_shift_neg(dists, 1)
+    pred_len = jnp.where(prev_len >= 5, prev_len - 1, 1)
+    pred_dist = jnp.where(prev_len >= 5, prev_dist, 0)
+    head = (lens != pred_len) | (dists != pred_dist) | (slot == 0)
+
+    bits_ref[:] = _bitmask_words(jnp.where(head, 1, 0), slot, rows)
+    cbits_ref[:] = _bitmask_words(conv_ref[:] & 1, slot, rows)
+
+    # --- compacted head payload: len16 | dist16 ---
+    payload = (jnp.minimum(lens, 65535) << 16) | (dists & 0xFFFF)
+    (vals,), ps = _route_front(head, slot, rows, [payload])
+    count_ref[:] = jnp.broadcast_to(ps[rows - 1 :, LANES - 1 :],
+                                    (rows, LANES))
+    packed_ref[:] = vals
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def pack_results(lens: jnp.ndarray, dists: jnp.ndarray, conv: jnp.ndarray,
+                 chunk: int = CHUNK):
+    """Pack (lens, dists, conv) into (head bitmask words, compacted head
+    words, n_heads, conv bitmask words).  Host inverse: unpack_results."""
+    bits, packed, count, cbits = _pallas_planes(
+        functools.partial(_pack_kernel, chunk),
+        [lens.astype(jnp.int32), dists.astype(jnp.int32),
+         conv.astype(jnp.int32)], 4)
+    return bits[: chunk // 32], packed, count[0], cbits[: chunk // 32]
+
+
+def _unpack_bits(bits, chunk):
+    import numpy as np
+
+    words = np.asarray(bits).astype(np.uint32)
+    return np.unpackbits(words.view(np.uint8),
+                         bitorder="little")[:chunk].astype(bool)
+
+
+def unpack_results(bits, packed, chunk: int = CHUNK):
+    """Numpy inverse of pack_results: rebuild full lens/dists arrays."""
+    import numpy as np
+
+    head = _unpack_bits(bits, chunk)
+    n_heads = int(head.sum())
+    pk = np.asarray(packed[:n_heads])
+    h_len = (pk >> 16) & 0xFFFF
+    h_dist = pk & 0xFFFF
+    idx = np.flatnonzero(head)
+    # decay-fill: len decreases by 1 from the head, dist holds, until the
+    # predicted value floors at the literal (1, 0)
+    pos = np.arange(chunk, dtype=np.int64)
+    seg = np.zeros(chunk, np.int64)
+    seg[idx] = 1
+    seg = np.cumsum(seg) - 1            # head rank covering each position
+    start = idx[seg]
+    fill = h_len[seg].astype(np.int64) - (pos - start)
+    # the predictor floors at the literal: a decayed value below MIN_MATCH
+    # means the packer predicted (1, 0) there
+    lens = np.where(fill >= fmt.MIN_MATCH, fill, 1)
+    dists = np.where(lens >= fmt.MIN_MATCH, h_dist[seg].astype(np.int64), 0)
+    return lens.astype(np.int32), dists.astype(np.int32)
+
+
+HEAD_CAP = 1 << 14  # fetched head slots per chunk (overflow -> host redo)
+GROUP = 16          # chunks per fused scan call (1 MB at CHUNK = 64 Ki)
+
+
+@functools.partial(jax.jit, static_argnames=("n_chunks", "head_cap", "chunk"))
+def match_chunks(
+    halo,                  # sorted planes of the chunk preceding bufs[0]
+    bufs,                  # uint8[n_chunks, chunk + 16]
+    cand_hi,               # int32[n_chunks]: candidate validity end (local)
+    valid_hi,              # int32[n_chunks]: claim validity end (local)
+    match_limit,           # int32[n_chunks]: block match cap (local coords)
+    cut_gram,              # int32: boundary-cut gram for chunk 0 (see below)
+    cut_pos,               # int32: cut pos in halo-local coords (-1: off)
+    n_chunks: int = GROUP,
+    head_cap: int = HEAD_CAP,
+    chunk: int = CHUNK,
+):
+    """The fused device encode path: scan ``n_chunks`` consecutive chunks,
+    each sorted once and probed against its predecessor's already-sorted
+    records (bitonic merge), results head/delta-packed on device.
+
+    Carry = the current chunk's sorted planes (device-resident across
+    calls, so a whole stream chains through with zero host round-trips).
+    Returns (next_halo, (bits, packed[:head_cap], n_heads, conv_bits))
+    with the ys stacked over chunks.  The boundary cut applies to chunk 0
+    only (block starts align with call boundaries; pipeline contract).
+    """
+    idx = jnp.arange(n_chunks, dtype=jnp.int32)
+    cgs = jnp.where(idx == 0, cut_gram, 0)
+    cps = jnp.where(idx == 0, cut_pos, -1)
+
+    def step(carry, xs):
+        buf, ch, vh, ml, cg, cp = xs
+        cur = sort_chunk(buf, jnp.int32(0), ch, chunk=chunk)
+        lens, dists, conv = probe_pair(
+            carry, cur, cg, cp, jnp.int32(0), vh, ml, chunk=chunk)
+        bits, packed, n_heads, cbits = pack_results(
+            lens, dists, conv, chunk=chunk)
+        return cur, (bits, packed[:head_cap], n_heads, cbits)
+
+    return jax.lax.scan(
+        step, halo, (bufs, cand_hi, valid_hi, match_limit, cgs, cps))
 
 
 def _shift_up(x: jnp.ndarray, s: int, fill):

@@ -47,10 +47,11 @@ def compress(
     block count and per-stage wall time (dispatch / device sync / host
     refine+DP+emit) for the observability surface (SURVEY.md §5).
 
-    ``kernel``: device search kernel — "sort" (sorted-neighborhood Pallas
-    path, ops.sortmatch; the fast default) or "walk" (lockstep candidate
-    walk, ops.match_finder).  None reads $SMALLZ4_TPU_KERNEL, default
-    "sort"."""
+    ``kernel``: device search kernel — "chunk" (chunk-merge scan path,
+    ops.chunkmatch: sort each 64 Ki chunk once, bitonic-merge with its
+    predecessor, device-packed results; the fast default), "sort"
+    (per-segment sorted-neighborhood, ops.sortmatch) or "walk" (lockstep
+    candidate walk, ops.match_finder).  None reads $SMALLZ4_TPU_KERNEL."""
     import os as _os
     import time as _time
 
@@ -66,6 +67,19 @@ def compress(
                                block_size=block_size)
     if block_size is None:
         block_size = fmt.MAX_BLOCK_SIZE_LEGACY if legacy else fmt.MAX_BLOCK_SIZE
+
+    # Parity fine print: for multi-block streams with blocks smaller than
+    # the window, the reference's insertion set diverges from any
+    # halo-context reconstruction (the per-block 12-byte replay,
+    # smallz4.h:616-624, skips earlier blocks' tail literals, and no
+    # replay happens at all while dataZero == 0).  Blocks >= 64 KB + 12
+    # keep at most one predecessor in-window, whose tail the replay does
+    # re-insert — there the halo model is exact (round-1 parity proofs).
+    # Small-block parity streams go to the sequential native encoder.
+    if (parity and not legacy and len(data) > block_size
+            and block_size < fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH):
+        return native.compress(data, level, legacy=legacy,
+                               dictionary=dictionary, block_size=block_size)
 
     dict_tail = b""
     if dictionary and not legacy:
@@ -84,25 +98,36 @@ def compress(
     # is dispatched up front (the device works ahead while the host runs
     # DP/emit on earlier blocks); the window bound keeps in-flight device
     # memory constant for arbitrarily large inputs.
+    import jax
+
+    on_tpu = any("tpu" in str(dv).lower() for dv in jax.devices())
     if kernel is None:
         kernel = _os.environ.get("SMALLZ4_TPU_KERNEL", "")
     if not kernel:
-        # the sorted-neighborhood kernel is Mosaic (Pallas) code: it needs
-        # real TPU hardware; the walk kernel lowers through XLA anywhere
-        import jax
+        # the chunk/sort kernels are Mosaic (Pallas) code: they need real
+        # TPU hardware; the walk kernel lowers through XLA anywhere
+        kernel = "chunk" if on_tpu else "walk"
+    if kernel == "chunk":
+        from . import chunkmatch as _cm
 
-        on_tpu = any("tpu" in str(d).lower() for d in jax.devices())
-        kernel = "sort" if on_tpu else "walk"
-    if kernel not in ("sort", "walk"):
+        # chunk-engine contract: block starts align with scan-call
+        # boundaries (the boundary cut binds to a call's chunk 0)
+        if block_size % (_cm.GROUP * _cm.CHUNK) != 0:
+            kernel = "sort" if on_tpu else "walk"
+    if kernel not in ("chunk", "sort", "walk"):
         raise ValueError(f"unknown device kernel {kernel!r}")
 
-    WINDOW = 8  # blocks (~32 MB of input at the default block size)
     stages: dict = {}
-    for w0 in range(0, len(blocks), WINDOW):
-        _process_block_window(
-            out, data, vdata, d, blocks[w0 : w0 + WINDOW], legacy,
-            max_candidates, parity, native, stages, kernel,
-        )
+    if kernel == "chunk":
+        _compress_chunked(out, data, vdata, d, blocks, legacy, parity,
+                          native, stages)
+    else:
+        WINDOW = 8  # blocks (~32 MB of input at the default block size)
+        for w0 in range(0, len(blocks), WINDOW):
+            _process_block_window(
+                out, data, vdata, d, blocks[w0 : w0 + WINDOW], legacy,
+                max_candidates, parity, native, stages, kernel,
+            )
     out += fmt.build_end_mark(legacy)
     if report is not None:
         report.operation = "encode"
@@ -114,6 +139,168 @@ def compress(
         for k, v in stages.items():
             report.stages[k] = report.stages.get(k, 0.0) + v
     return bytes(out)
+
+
+def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
+                      stages):
+    """Chunk-engine stream driver: one fused device scan per GROUP chunks,
+    the sorted planes of each chunk carried device-resident as the next
+    chunk's halo (zero host round-trips on the search's critical path);
+    head/delta-packed results stream back and the host runs refine (parity
+    mode) + DP + emit in the worker pool.
+
+    Contract (checked by the caller): block_size % (GROUP*CHUNK) == 0, so
+    every block starts at a scan-call boundary and the boundary cut binds
+    to that call's chunk 0.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from . import chunkmatch as cm
+    from ..parallel import host as host_par
+
+    CH, G, CAP = cm.CHUNK, cm.GROUP, cm.HEAD_CAP
+    n = len(data)
+    arr = np.frombuffer(data, np.uint8)
+
+    t0 = _time.perf_counter()
+    if d:
+        hb = np.zeros(CH + 16, np.uint8)
+        hb[CH - d : CH] = np.frombuffer(vdata[:d], np.uint8)
+        take = min(16, n)
+        hb[CH : CH + take] = arr[:take]
+        halo = cm.sort_chunk(jnp.asarray(hb), jnp.int32(CH - d),
+                             jnp.int32(CH), chunk=CH)
+    else:
+        halo = cm.empty_halo(chunk=CH)
+
+    def dispatch_block(start, end, halo):
+        """Queue every scan of one block; returns (new halo, ys list)."""
+        bs = end - start
+        n_groups = -(-bs // (G * CH))
+        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+        if legacy:
+            halo = cm.empty_halo(chunk=CH)
+        entries = []
+        for gi in range(n_groups):
+            g0 = gi * G
+            bufs = np.zeros((G, CH + 16), np.uint8)
+            cand = np.zeros(G, np.int32)
+            vhi = np.zeros(G, np.int32)
+            lim = np.zeros(G, np.int32)
+            for j in range(G):
+                cs = start + (g0 + j) * CH
+                take = max(0, min(CH + 16, n - cs))
+                if take:
+                    bufs[j, :take] = arr[cs : cs + take]
+                real = max(0, min(CH, bs - (g0 + j) * CH))
+                cand[j] = real
+                vhi[j] = real
+                lim[j] = bs - (g0 + j) * CH - fmt.BLOCK_END_LITERALS
+            if gi == 0 and block_cut:
+                cg = int.from_bytes(
+                    data[start - fmt.BLOCK_END_NO_MATCH :
+                         start - fmt.BLOCK_END_NO_MATCH + 4], "little")
+                cg = cg - (1 << 32) if cg >= 1 << 31 else cg
+                cut_gram, cut_pos = jnp.int32(cg), jnp.int32(
+                    CH - fmt.BLOCK_END_NO_MATCH)
+            else:
+                cut_gram, cut_pos = jnp.int32(0), jnp.int32(-1)
+            halo, ys = cm.match_chunks(
+                halo, jnp.asarray(bufs), jnp.asarray(cand),
+                jnp.asarray(vhi), jnp.asarray(lim), cut_gram, cut_pos,
+                n_chunks=G, head_cap=CAP, chunk=CH)
+            entries.append((g0, ys))
+        return halo, entries
+
+    def collect_block(start, end, entries):
+        """Fetch + unpack one block's device results (main thread)."""
+        bs = end - start
+        lens = np.ones(bs, np.int32)
+        dists = np.zeros(bs, np.int32)
+        conv = np.ones(bs, bool)
+        redo = np.zeros(bs, bool)
+        for g0, (bits, packed, counts, cbits) in entries:
+            counts_np = np.asarray(counts)
+            maxp = max(1, int(counts_np.max()))
+            pk = np.asarray(packed[:, : min(maxp, CAP)])
+            bits_np = np.asarray(bits)
+            cbits_np = np.asarray(cbits)
+            for j in range(G):
+                o = (g0 + j) * CH
+                if o >= bs:
+                    break
+                w = min(CH, bs - o)
+                if counts_np[j] > CAP:  # head overflow: host redoes chunk
+                    redo[o : o + w] = True
+                    conv[o : o + w] = False
+                    continue
+                l, dd = cm.unpack_results(bits_np[j], pk[j], chunk=CH)
+                cv = cm._unpack_bits(cbits_np[j], CH)
+                lens[o : o + w] = l[:w]
+                dists[o : o + w] = dd[:w]
+                conv[o : o + w] = cv[:w]
+        return lens, dists, conv, redo
+
+    def finish(start, end, lens, dists, conv, redo):
+        """Worker-pool tail: refine (parity / overflow) + DP + emit."""
+        bs = end - start
+        vstart, vend = start + d, end + d
+        tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
+        lens[bs - tail :] = 1
+        dists[bs - tail :] = 0
+        conv[bs - tail :] = True
+        redo[bs - tail :] = False
+        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+        mask = ~conv if parity else redo
+        if mask.any():
+            lo = vstart if legacy else max(vstart - HALO, 0)
+            base_r = vstart - lo
+            ctxb = np.frombuffer(vdata[lo:vend], np.uint8)
+            native.match_refine(
+                ctxb, base=base_r, bs=bs, lookback=base_r,
+                mask=mask, lens=lens, dists=dists,
+                cut_pos=(base_r - fmt.BLOCK_END_NO_MATCH) if block_cut else -1,
+            )
+        native.estimate_costs(lens, dists)
+        payload = native.emit_block(data[start:end], lens, dists)
+        if len(payload) < bs or legacy:
+            return payload, False
+        return data[start:end], True
+
+    WINDOW = 8  # in-flight blocks: bounds device + host result memory
+    pool = host_par._pool(None)
+    pending = []  # (start, end, entries)
+    jobs = []     # (start, future)
+
+    def drain(limit):
+        nonlocal pending
+        t = _time.perf_counter()
+        while len(pending) > limit:
+            start, end, entries = pending.pop(0)
+            res = collect_block(start, end, entries)
+            jobs.append(((start, end), pool.submit(finish, start, end, *res)))
+        stages["device_sync"] = stages.get("device_sync", 0.0) + (
+            _time.perf_counter() - t)
+
+    t0 = _time.perf_counter()
+    for start, end in blocks:
+        halo, entries = dispatch_block(start, end, halo)
+        pending.append((start, end, entries))
+        stages["device_dispatch"] = stages.get("device_dispatch", 0.0) + (
+            _time.perf_counter() - t0)
+        drain(WINDOW)
+        t0 = _time.perf_counter()
+    drain(0)
+
+    t0 = _time.perf_counter()
+    for (start, end), job in jobs:
+        payload, stored = job.result()
+        out += fmt.build_block_header(len(payload), stored, legacy)
+        out += payload
+    stages["host_refine_dp_emit"] = stages.get("host_refine_dp_emit", 0.0) + (
+        _time.perf_counter() - t0)
 
 
 def _process_block_window(out, data, vdata, d, blocks, legacy,

@@ -141,3 +141,159 @@ def test_chunk_boundary_cut():
     # search used (base repeats, so early chunk-1 positions match the
     # cut gram's earlier occurrences)
     assert (d0 != d1).any() or (l0 != l1).any()
+
+
+def test_pack_unpack_roundtrip():
+    """Device head/delta packing inverts exactly on realistic claims."""
+    rng = np.random.default_rng(11)
+    n = 1024
+    lens = np.ones(n, np.int32)
+    dists = np.zeros(n, np.int32)
+    i = 0
+    while i < n:
+        if rng.random() < 0.4:  # a match with chain-decay interior
+            L = int(rng.integers(4, 60))
+            d = int(rng.integers(1, 500))
+            span = min(int(rng.integers(1, L + 3)), n - i)
+            for k in range(span):
+                lens[i + k] = max(L - k, 1) if L - k >= 4 else 1
+                dists[i + k] = d if lens[i + k] >= 4 else 0
+            i += span
+        else:
+            i += int(rng.integers(1, 8))
+    conv = rng.random(n) < 0.8
+    bits, packed, count, cbits = chunkmatch.pack_results(
+        jnp.asarray(lens), jnp.asarray(dists), jnp.asarray(conv), chunk=n)
+    n_heads = int(np.asarray(count))
+    l2, d2 = chunkmatch.unpack_results(
+        np.asarray(bits), np.asarray(packed), chunk=n)
+    np.testing.assert_array_equal(l2, lens)
+    np.testing.assert_array_equal(d2, dists)
+    np.testing.assert_array_equal(
+        chunkmatch._unpack_bits(np.asarray(cbits), n), conv)
+    assert n_heads < n  # packing actually compresses
+    assert n_heads == chunkmatch._unpack_bits(np.asarray(bits), n).sum()
+
+
+def _mixed_stream(n, seed=5):
+    rng = np.random.default_rng(seed)
+    parts = []
+    while sum(map(len, parts)) < n:
+        r = rng.random()
+        if r < 0.3:
+            parts.append(bytes(rng.integers(0, 256, 200, dtype=np.uint8)))
+        elif r < 0.6:
+            parts.append(bytes(rng.integers(97, 103, 300, dtype=np.uint8)))
+        elif r < 0.8 and parts:
+            parts.append(parts[rng.integers(0, len(parts))])
+        else:
+            parts.append(bytes([rng.integers(0, 256)]) * int(rng.integers(5, 200)))
+    return b"".join(parts)[:n]
+
+
+@pytest.fixture()
+def _tiny_chunks(monkeypatch):
+    """Shrink the chunk engine so interpret-mode e2e runs are feasible.
+
+    NOTE: the convergence certificate needs CHUNK >= MAX_DISTANCE (the
+    halo chunk must cover the whole window), so bit-parity assertions at
+    the test chunk size only hold while every reference-visible candidate
+    fits in (halo chunk, current chunk) — keep parity data <= 2*C and
+    parity dictionaries <= C."""
+    monkeypatch.setattr(chunkmatch, "CHUNK", C)
+    monkeypatch.setattr(chunkmatch, "GROUP", 1)
+    monkeypatch.setattr(chunkmatch, "HEAD_CAP", C)
+
+
+def test_pipeline_chunk_engine_parity(_tiny_chunks):
+    """End-to-end tpu-engine encode with the chunk kernel: parity mode is
+    bit-identical to the native -9 stream.  One 2-chunk block exercises
+    the device halo carry between chunks; cross-BLOCK parity requires
+    blocks >= 64 KB + 12 (the reference's replay fine print — see
+    pipeline.compress) and is validated on-chip at real chunk size."""
+    from smallz4_tpu import native
+    from smallz4_tpu.ops import pipeline
+
+    bs = 2 * C
+    data = _mixed_stream(2 * C)
+    want = native.compress(data, 9, block_size=bs)
+    got = pipeline.compress(data, 9, block_size=bs, parity=True,
+                            kernel="chunk")
+    assert got == want
+
+
+def test_pipeline_chunk_engine_parity_small_blocks_delegate(_tiny_chunks):
+    """Multi-block parity below the replay threshold must stay bit-exact
+    (the engine delegates to the sequential native encoder)."""
+    from smallz4_tpu import native
+    from smallz4_tpu.ops import pipeline
+
+    data = _mixed_stream(2 * C)
+    got = pipeline.compress(data, 9, block_size=C, parity=True,
+                            kernel="chunk")
+    assert got == native.compress(data, 9, block_size=C)
+
+
+def test_pipeline_chunk_engine_fast_roundtrip(_tiny_chunks):
+    """Fast mode (no refine) over a longer ragged stream: every claim the
+    device keeps must yield a valid stream; ratio stays -9-class."""
+    from smallz4_tpu import native
+    from smallz4_tpu.ops import pipeline
+
+    bs = 2 * C
+    data = _mixed_stream(4 * C + 700)
+    fast = pipeline.compress(data, 9, block_size=bs, kernel="chunk")
+    assert native.decompress(fast) == data
+    want = native.compress(data, 9, block_size=bs)
+    assert len(fast) <= int(len(want) * 1.10) + 64
+
+
+def test_pipeline_chunk_engine_dictionary(_tiny_chunks):
+    from smallz4_tpu import native
+    from smallz4_tpu.ops import pipeline
+
+    bs = C
+    dict_data = _mixed_stream(700, seed=9)
+    data = dict_data[100:500] + _mixed_stream(C - 400, seed=10)
+    want = native.compress(data, 9, block_size=bs, dictionary=dict_data)
+    got = pipeline.compress(data, 9, block_size=bs, parity=True,
+                            kernel="chunk", dictionary=dict_data)
+    assert got == want
+
+
+def test_match_chunks_scan_equals_stepwise():
+    """The fused scan path reproduces the stepwise sort+probe+pack loop,
+    and the packed results invert to the stepwise claims."""
+    data = _corpus(21, 4 * C)
+    n = len(data)
+    padded = np.zeros(n + 16, np.uint8)
+    padded[:n] = np.frombuffer(data, np.uint8)
+    ref_lens, ref_dists, ref_conv = _run_stream(data)
+
+    n_chunks = n // C
+    bufs = np.stack([padded[i * C : i * C + C + 16]
+                     for i in range(n_chunks)])
+    cand_hi = np.full(n_chunks, C, np.int32)
+    valid_hi = np.full(n_chunks, C, np.int32)
+    valid_hi[-1] = C - fmt.BLOCK_END_NO_MATCH + 1
+    cand_hi[-1] = C - fmt.BLOCK_END_NO_MATCH + 1
+    limit = np.array([n - fmt.BLOCK_END_LITERALS - i * C
+                      for i in range(n_chunks)], np.int32)
+
+    halo = chunkmatch.empty_halo(chunk=C)
+    _, (bits, packed, counts, cbits) = chunkmatch.match_chunks(
+        halo, jnp.asarray(bufs), jnp.asarray(cand_hi),
+        jnp.asarray(valid_hi), jnp.asarray(limit),
+        jnp.int32(0), jnp.int32(-1),
+        n_chunks=n_chunks, head_cap=C, chunk=C)
+    bits, packed, counts, cbits = map(np.asarray, (bits, packed, counts, cbits))
+
+    for ci in range(n_chunks):
+        l, d = chunkmatch.unpack_results(bits[ci], packed[ci], chunk=C)
+        cv = chunkmatch._unpack_bits(cbits[ci], C)
+        s = ci * C
+        hi = int(valid_hi[ci])
+        np.testing.assert_array_equal(l[:hi], ref_lens[s : s + hi])
+        np.testing.assert_array_equal(d[:hi], ref_dists[s : s + hi])
+        np.testing.assert_array_equal(cv[:hi], ref_conv[s : s + hi])
+        assert counts[ci] <= C
