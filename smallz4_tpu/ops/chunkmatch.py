@@ -264,8 +264,9 @@ def _pack_kernel(chunk, refs):
     # --- compacted head payload: len16 | dist16 ---
     payload = (jnp.minimum(lens, 65535) << 16) | (dists & 0xFFFF)
     (vals,), ps = _route_front(head, slot, rows, [payload])
-    count_ref[:] = jnp.broadcast_to(ps[rows - 1 :, LANES - 1 :],
-                                    (rows, LANES))
+    # total head count lives at the last flat slot; rotate it to slot 0
+    # (Mosaic has no 2D broadcast of a (1,1) slice)
+    count_ref[:] = pltpu.roll(pltpu.roll(ps, 1, 0), 1, 1)
     packed_ref[:] = vals
 
 
@@ -315,7 +316,9 @@ def unpack_results(bits, packed, chunk: int = CHUNK):
 
 
 HEAD_CAP = 1 << 14  # fetched head slots per chunk (overflow -> host redo)
-GROUP = 16          # chunks per fused scan call (1 MB at CHUNK = 64 Ki)
+GROUP = 64          # chunks per fused scan call (4 MB at CHUNK = 64 Ki):
+                    # one dispatch + one result fetch per default block —
+                    # the tunnel/PCIe link prices round-trips, not just bytes
 
 
 @functools.partial(jax.jit, static_argnames=("n_chunks", "head_cap", "chunk"))

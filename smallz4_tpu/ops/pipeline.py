@@ -211,6 +211,14 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 halo, jnp.asarray(bufs), jnp.asarray(cand),
                 jnp.asarray(vhi), jnp.asarray(lim), cut_gram, cut_pos,
                 n_chunks=G, head_cap=CAP, chunk=CH)
+            bits, packed, counts, cbits = ys
+            # start the host copies now: by drain time only the
+            # counts-dependent packed slice still needs a round trip
+            for a in (bits, counts, cbits):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
             entries.append((g0, ys))
         return halo, entries
 
