@@ -282,37 +282,56 @@ def pack_results(lens: jnp.ndarray, dists: jnp.ndarray, conv: jnp.ndarray,
     return bits[: chunk // 32], packed, count[0], cbits[: chunk // 32]
 
 
+def unpack_bits_rows(bits, chunk):
+    """Bitmask words [R, chunk//32] -> bool [R, chunk]."""
+    import numpy as np
+
+    words = np.ascontiguousarray(np.asarray(bits)).astype(np.uint32)
+    R = words.shape[0]
+    return np.unpackbits(words.view(np.uint8).reshape(R, -1), axis=1,
+                         bitorder="little")[:, :chunk].astype(bool)
+
+
 def _unpack_bits(bits, chunk):
     import numpy as np
 
-    words = np.asarray(bits).astype(np.uint32)
-    return np.unpackbits(words.view(np.uint8),
-                         bitorder="little")[:chunk].astype(bool)
+    return unpack_bits_rows(np.asarray(bits)[None], chunk)[0]
+
+
+def unpack_rows(bits, packed, chunk: int = CHUNK):
+    """Vectorized numpy inverse of pack_results over stacked rows.
+
+    bits: int-like [R, chunk//32] head bitmask words; packed: [R, >=1]
+    compacted head words (rows with more heads than packed columns are the
+    caller's overflow problem — their output is garbage here).  Returns
+    (lens, dists) as int32 [R, chunk].
+
+    Decay-fill: from each head, len decreases by 1 and dist holds until the
+    prediction floors at the literal (1, 0)."""
+    import numpy as np
+
+    words = np.ascontiguousarray(np.asarray(bits)).astype(np.uint32)
+    R = words.shape[0]
+    head = np.unpackbits(words.view(np.uint8).reshape(R, -1), axis=1,
+                         bitorder="little")[:, :chunk].astype(bool)
+    pos = np.arange(chunk, dtype=np.int32)
+    seg = np.cumsum(head, axis=1, dtype=np.int32) - 1  # head rank per pos
+    start = np.maximum.accumulate(np.where(head, pos, 0), axis=1)
+    pk = np.asarray(packed)
+    vals = np.take_along_axis(pk, np.minimum(seg, pk.shape[1] - 1), axis=1)
+    fill = ((vals >> 16) & 0xFFFF) - (pos - start)
+    lens = np.where(fill >= fmt.MIN_MATCH, fill, 1).astype(np.int32)
+    dists = np.where(lens >= fmt.MIN_MATCH, vals & 0xFFFF, 0).astype(np.int32)
+    return lens, dists
 
 
 def unpack_results(bits, packed, chunk: int = CHUNK):
     """Numpy inverse of pack_results: rebuild full lens/dists arrays."""
     import numpy as np
 
-    head = _unpack_bits(bits, chunk)
-    n_heads = int(head.sum())
-    pk = np.asarray(packed[:n_heads])
-    h_len = (pk >> 16) & 0xFFFF
-    h_dist = pk & 0xFFFF
-    idx = np.flatnonzero(head)
-    # decay-fill: len decreases by 1 from the head, dist holds, until the
-    # predicted value floors at the literal (1, 0)
-    pos = np.arange(chunk, dtype=np.int64)
-    seg = np.zeros(chunk, np.int64)
-    seg[idx] = 1
-    seg = np.cumsum(seg) - 1            # head rank covering each position
-    start = idx[seg]
-    fill = h_len[seg].astype(np.int64) - (pos - start)
-    # the predictor floors at the literal: a decayed value below MIN_MATCH
-    # means the packer predicted (1, 0) there
-    lens = np.where(fill >= fmt.MIN_MATCH, fill, 1)
-    dists = np.where(lens >= fmt.MIN_MATCH, h_dist[seg].astype(np.int64), 0)
-    return lens.astype(np.int32), dists.astype(np.int32)
+    l, d = unpack_rows(np.asarray(bits)[None], np.asarray(packed)[None],
+                       chunk=chunk)
+    return l[0], d[0]
 
 
 HEAD_CAP = 1 << 14  # fetched head slots per chunk (overflow -> host redo)

@@ -223,18 +223,27 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         return halo, entries
 
     def collect_block(start, end, entries):
-        """Fetch + unpack one block's device results (main thread)."""
+        """Fetch one block's device results (main thread; the dispatch-time
+        copy_to_host_async means only the counts-dependent packed slice
+        still pays a round trip here).  Unpacking happens in the pool."""
+        fetched = []
+        for g0, (bits, packed, counts, cbits) in entries:
+            counts_np = np.asarray(counts)
+            maxp = max(1, int(counts_np.max()))
+            pk = np.asarray(packed[:, : min(maxp, CAP)])
+            fetched.append((g0, np.asarray(bits), pk, counts_np,
+                            np.asarray(cbits)))
+        return fetched
+
+    def unpack_block(start, end, fetched):
         bs = end - start
         lens = np.ones(bs, np.int32)
         dists = np.zeros(bs, np.int32)
         conv = np.ones(bs, bool)
         redo = np.zeros(bs, bool)
-        for g0, (bits, packed, counts, cbits) in entries:
-            counts_np = np.asarray(counts)
-            maxp = max(1, int(counts_np.max()))
-            pk = np.asarray(packed[:, : min(maxp, CAP)])
-            bits_np = np.asarray(bits)
-            cbits_np = np.asarray(cbits)
+        for g0, bits_np, pk, counts_np, cbits_np in fetched:
+            l_rows, d_rows = cm.unpack_rows(bits_np, pk, chunk=CH)
+            cv_rows = cm.unpack_bits_rows(cbits_np, CH)
             for j in range(G):
                 o = (g0 + j) * CH
                 if o >= bs:
@@ -244,15 +253,15 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                     redo[o : o + w] = True
                     conv[o : o + w] = False
                     continue
-                l, dd = cm.unpack_results(bits_np[j], pk[j], chunk=CH)
-                cv = cm._unpack_bits(cbits_np[j], CH)
-                lens[o : o + w] = l[:w]
-                dists[o : o + w] = dd[:w]
-                conv[o : o + w] = cv[:w]
+                lens[o : o + w] = l_rows[j, :w]
+                dists[o : o + w] = d_rows[j, :w]
+                conv[o : o + w] = cv_rows[j, :w]
         return lens, dists, conv, redo
 
-    def finish(start, end, lens, dists, conv, redo):
-        """Worker-pool tail: refine (parity / overflow) + DP + emit."""
+    def finish(start, end, fetched):
+        """Worker-pool tail: unpack + refine (parity / overflow) + DP +
+        emit."""
+        lens, dists, conv, redo = unpack_block(start, end, fetched)
         bs = end - start
         vstart, vend = start + d, end + d
         tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
@@ -287,8 +296,8 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         t = _time.perf_counter()
         while len(pending) > limit:
             start, end, entries = pending.pop(0)
-            res = collect_block(start, end, entries)
-            jobs.append(((start, end), pool.submit(finish, start, end, *res)))
+            fetched = collect_block(start, end, entries)
+            jobs.append(((start, end), pool.submit(finish, start, end, fetched)))
         stages["device_sync"] = stages.get("device_sync", 0.0) + (
             _time.perf_counter() - t)
 

@@ -164,3 +164,20 @@ def test_report_flag(corpora):
     assert rep["operation"] == "encode" and rep["engine"] == "native"
     assert rep["bytes_in"] == len(data) and rep["bytes_out"] == len(res.stdout)
     assert rep["mbps"] > 0
+
+
+def test_tinycat_minimal_decoder(tmp_path, reference, corpora):
+    """The size-optimized standalone decoder artifact (reference
+    Makefile:20-43 parity): builds small, decodes reference streams."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "native"
+    subprocess.run(["make", "-C", str(root), "tinycat"],
+                   check=True, capture_output=True)
+    binary = root / "tinycat"
+    assert binary.stat().st_size < 64 * 1024  # "tiny": a few pages
+    data = corpora["mixed"]
+    for legacy in (False, True):
+        frame = reference.compress(data, 9, legacy=legacy)
+        out = subprocess.run([str(binary)], input=frame, capture_output=True)
+        assert out.returncode == 0 and out.stdout == data, legacy
