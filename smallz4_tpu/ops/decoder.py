@@ -52,7 +52,12 @@ def expand_block(
     # pool = [hist (HIST_CAP, right-aligned), payload]: terminals are
     # encoded as -(pool_index + 1)
     lit_pool = HIST_CAP + lit_src[sid] + (pos - seq_start[sid])
-    raw = pos - match_off[sid]                     # may reach into history
+    # overlap contraction: byte k of a self-overlapping match (offset <
+    # span) repeats the first `offset` source bytes, so point it there
+    # directly — chain depth becomes the match *nesting* depth instead of
+    # the run length (an RLE run would otherwise need ~log2(len) rounds)
+    k = pos - match_start[sid]
+    raw = match_start[sid] - match_off[sid] + k % match_off[sid]
     hist_pool = HIST_CAP + raw                     # raw < 0: right-aligned hist
     ptr = jnp.where(
         is_lit,

@@ -213,8 +213,10 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 n_chunks=G, head_cap=CAP, chunk=CH)
             bits, packed, counts, cbits = ys
             # start the host copies now: by drain time only the
-            # counts-dependent packed slice still needs a round trip
-            for a in (bits, counts, cbits):
+            # counts-dependent packed slice still needs a round trip.
+            # conv bits are only consumed by the parity refine — fast mode
+            # never fetches them (the link prices every byte)
+            for a in (bits, counts) + ((cbits,) if parity else ()):
                 try:
                     a.copy_to_host_async()
                 except Exception:
@@ -232,7 +234,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
             maxp = max(1, int(counts_np.max()))
             pk = np.asarray(packed[:, : min(maxp, CAP)])
             fetched.append((g0, np.asarray(bits), pk, counts_np,
-                            np.asarray(cbits)))
+                            np.asarray(cbits) if parity else None))
         return fetched
 
     def unpack_block(start, end, fetched):
@@ -243,7 +245,8 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         redo = np.zeros(bs, bool)
         for g0, bits_np, pk, counts_np, cbits_np in fetched:
             l_rows, d_rows = cm.unpack_rows(bits_np, pk, chunk=CH)
-            cv_rows = cm.unpack_bits_rows(cbits_np, CH)
+            cv_rows = (cm.unpack_bits_rows(cbits_np, CH)
+                       if cbits_np is not None else None)
             for j in range(G):
                 o = (g0 + j) * CH
                 if o >= bs:
@@ -255,7 +258,8 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                     continue
                 lens[o : o + w] = l_rows[j, :w]
                 dists[o : o + w] = d_rows[j, :w]
-                conv[o : o + w] = cv_rows[j, :w]
+                if cv_rows is not None:
+                    conv[o : o + w] = cv_rows[j, :w]
         return lens, dists, conv, redo
 
     def finish(start, end, fetched):

@@ -248,6 +248,21 @@ def test_pipeline_chunk_engine_fast_roundtrip(_tiny_chunks):
     assert len(fast) <= int(len(want) * 1.10) + 64
 
 
+def test_pipeline_chunk_engine_head_overflow(_tiny_chunks, monkeypatch):
+    """Chunks whose head count exceeds the fetch cap fall back to the host
+    matcher — the stream stays valid and -9-exact in parity mode."""
+    from smallz4_tpu import native
+    from smallz4_tpu.ops import pipeline
+
+    monkeypatch.setattr(chunkmatch, "HEAD_CAP", 8)  # force overflow
+    data = _mixed_stream(2 * C, seed=3)
+    got = pipeline.compress(data, 9, block_size=2 * C, parity=True,
+                            kernel="chunk")
+    assert got == native.compress(data, 9, block_size=2 * C)
+    fast = pipeline.compress(data, 9, block_size=2 * C, kernel="chunk")
+    assert native.decompress(fast) == data
+
+
 def test_pipeline_chunk_engine_dictionary(_tiny_chunks):
     from smallz4_tpu import native
     from smallz4_tpu.ops import pipeline
