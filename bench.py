@@ -108,6 +108,32 @@ projected = probe * (len(corpus) / warm_n)
 print(f"tpu probe ({kern}): warm={warm:.1f}s {warm_n>>20}MB={probe:.2f}s "
       f"rate={report['probe_mbps']} MB/s projected={projected:.0f}s",
       file=sys.stderr, flush=True)
+if on_tpu:
+    # device-resident match rate: the kernel metric, independent of the
+    # host link (the dev tunnel runs ~25 MB/s; real hosts have PCIe)
+    import numpy as np
+    import jax as _jax
+    import jax.numpy as jnp
+    from smallz4_tpu.ops import chunkmatch as cm
+    CH, G = cm.CHUNK, cm.GROUP
+    arr = np.zeros(G * CH + 16, dtype=np.uint8)
+    take = min(len(corpus), len(arr))
+    arr[:take] = np.frombuffer(corpus[:take], np.uint8)
+    bufs = jnp.asarray(np.stack([arr[j*CH : j*CH + CH + 16] for j in range(G)]))
+    cand = jnp.full(G, CH, jnp.int32)
+    lim = jnp.asarray([G*CH - j*CH - 5 for j in range(G)], jnp.int32)
+    halo = cm.empty_halo()
+    halo, _ = cm.match_chunks(halo, bufs, cand, cand, lim,
+                              jnp.int32(0), jnp.int32(-1))  # compile+warm
+    _jax.block_until_ready(halo)
+    t0 = time.time(); reps = 4
+    for _ in range(reps):
+        halo, _ys = cm.match_chunks(halo, bufs, cand, cand, lim,
+                                    jnp.int32(0), jnp.int32(-1))
+    _jax.block_until_ready(halo)
+    report["device_match_mbps"] = round(reps * G * CH / (time.time() - t0) / 1e6, 1)
+    print(f"device-resident match rate: {report['device_match_mbps']} MB/s",
+          file=sys.stderr, flush=True)
 if projected <= budget:
     rep = RunReport(operation="encode", engine="tpu")
     t0 = time.time()
@@ -136,7 +162,7 @@ def _tpu_phase_subprocess(corpus: bytes):
 
     wall = float(os.environ.get("SMALLZ4_TPU_BENCH_WALL_S", "1800"))
     repo = os.path.dirname(os.path.abspath(__file__))
-    out, probe = [], None
+    out, probe = [], {}
     with tempfile.TemporaryDirectory() as td:
         cpath = os.path.join(td, "corpus.bin")
         pathlib.Path(cpath).write_bytes(corpus)
@@ -158,7 +184,7 @@ def _tpu_phase_subprocess(corpus: bytes):
         except Exception:
             log("tpu phase produced no report")
             return out, probe
-        probe = report.get("probe_mbps")
+        probe = {k: report.get(k) for k in ("probe_mbps", "device_match_mbps")}
         for item in report["entries"]:
             frame = pathlib.Path(item["path"]).read_bytes()
             out.append((item["name"], item["mbps"], len(frame), frame))
@@ -185,7 +211,7 @@ def main() -> int:
     # 2. TPU pipeline, in a killable subprocess: accelerator-side compiles
     # can queue for minutes in shared environments, and a hung probe must
     # never hang the benchmark itself.
-    tpu_entries, tpu_probe_mbps = _tpu_phase_subprocess(corpus)
+    tpu_entries, tpu_extras = _tpu_phase_subprocess(corpus)
     results.extend(tpu_entries)
 
     # decode throughput (secondary metrics; reference smallz4cat ~830 MB/s)
@@ -222,8 +248,9 @@ def main() -> int:
     # host-pool numbers stay visible above but don't mask the chip
     engine, mbps, size = best_tpu or best
     extras = {}
-    if tpu_probe_mbps is not None:
-        extras["tpu_probe_mbps"] = tpu_probe_mbps
+    if tpu_extras:
+        extras.update({f"tpu_{k.removeprefix('tpu_')}": v
+                       for k, v in tpu_extras.items() if v is not None})
     if best_tpu is None:
         extras["note"] = "no tpu entry passed; headline is host fallback"
     if ref_size:

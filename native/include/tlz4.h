@@ -165,6 +165,16 @@ int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
  * smallz4.h:376-472). */
 int64_t tlz4_estimate_costs(int32_t *lens, const int32_t *dists, int64_t n);
 
+/* Expand the device matcher's head/delta packing (see
+ * smallz4_tpu/ops/chunkmatch.py pack_results) into full per-position
+ * claim arrays: bits = n/32 head bitmask words (bit i of word w = head at
+ * position 32w+i), packed = (len16|dist16) words at head rank.  Decay
+ * fill between heads: len decreases by 1, dist holds, flooring at the
+ * literal (1, 0).  Returns the number of heads consumed, or TLZ4_E_*. */
+int64_t tlz4_unpack_claims(const uint32_t *bits, const int32_t *packed,
+                           int64_t n_packed, int64_t n,
+                           int32_t *lens, int32_t *dists);
+
 /* Serialize chosen matches into a token stream (smallz4.h:259-371). */
 int64_t tlz4_emit_block(const uint8_t *block, int64_t bs,
                         const int32_t *lens, const int32_t *dists,

@@ -1575,6 +1575,46 @@ int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
   return 0;
 }
 
+int64_t tlz4_unpack_claims(const uint32_t *bits, const int32_t *packed,
+                           int64_t n_packed, int64_t n,
+                           int32_t *lens, int32_t *dists) {
+  if (!bits || !packed || !lens || !dists || n < 0 || (n & 31)) return TLZ4_E_ARG;
+  int64_t rank = 0;
+  int32_t len0 = 1, dist0 = 0;
+  int64_t head_pos = 0;
+  for (int64_t w = 0; w < n / 32; w++) {
+    uint32_t word = bits[w];
+    const int64_t base = w * 32;
+    int64_t prev = -1;
+    while (word) {
+      const int b = __builtin_ctz(word);
+      word &= word - 1;
+      const int64_t p = base + b;
+      /* decay-fill (prev head .. p) */
+      for (int64_t i = (prev < 0 ? base : prev); i < p; i++) {
+        const int64_t k = i - head_pos;
+        const int32_t l = len0 - int32_t(k);
+        lens[i] = l >= 4 ? l : 1;
+        dists[i] = l >= 4 ? dist0 : 0;
+      }
+      if (rank >= n_packed) return TLZ4_E_ARG;
+      const int32_t v = packed[rank++];
+      len0 = (v >> 16) & 0xFFFF;
+      dist0 = v & 0xFFFF;
+      head_pos = p;
+      prev = p;
+    }
+    const int64_t from = prev < 0 ? base : prev;
+    for (int64_t i = from; i < base + 32; i++) {
+      const int64_t k = i - head_pos;
+      const int32_t l = len0 - int32_t(k);
+      lens[i] = l >= 4 ? l : 1;
+      dists[i] = l >= 4 ? dist0 : 0;
+    }
+  }
+  return rank;
+}
+
 int64_t tlz4_estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
   if (!lens || !dists || n < 0) return TLZ4_E_ARG;
   estimate_costs(lens, dists, n);

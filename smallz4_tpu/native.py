@@ -102,6 +102,9 @@ def _load():
         lib.tlz4_match_refine.argtypes = [c_u8p, i64, i64, i64, i64, i64, c_u8p, c_i32p, c_i32p]
         lib.tlz4_estimate_costs.restype = i64
         lib.tlz4_estimate_costs.argtypes = [c_i32p, c_i32p, i64]
+        lib.tlz4_unpack_claims.restype = i64
+        lib.tlz4_unpack_claims.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), c_i32p, i64, i64, c_i32p, c_i32p]
         lib.tlz4_emit_block.restype = i64
         lib.tlz4_emit_block.argtypes = [c_u8p, i64, c_i32p, c_i32p, c_u8p, i64]
         lib.tlz4_parse_sequences.restype = i64
@@ -398,6 +401,25 @@ def match_refine(buf, base: int, bs: int, lookback: int,
                               _ptr(m), _ptr32(lens), _ptr32(dists))
     if r < 0:
         _raise(r)
+
+
+def unpack_claims(bits: np.ndarray, packed: np.ndarray, n: int):
+    """Expand one chunk's head/delta packing (ops.chunkmatch.pack_results)
+    into per-position (lens, dists) int32 arrays — the fast native inverse
+    of the device packer (memory-speed decay fill)."""
+    import ctypes as _ct
+
+    lib = _load()
+    b = np.ascontiguousarray(bits, dtype=np.uint32)
+    p = np.ascontiguousarray(packed, dtype=np.int32)
+    lens = np.empty(n, np.int32)
+    dists = np.empty(n, np.int32)
+    r = lib.tlz4_unpack_claims(
+        b.ctypes.data_as(_ct.POINTER(_ct.c_uint32)), _ptr32(p), len(p), n,
+        _ptr32(lens), _ptr32(dists))
+    if r < 0:
+        _raise(r)
+    return lens, dists
 
 
 def estimate_costs(lens: np.ndarray, dists: np.ndarray) -> None:

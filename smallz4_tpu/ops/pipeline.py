@@ -244,7 +244,6 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         conv = np.ones(bs, bool)
         redo = np.zeros(bs, bool)
         for g0, bits_np, pk, counts_np, cbits_np in fetched:
-            l_rows, d_rows = cm.unpack_rows(bits_np, pk, chunk=CH)
             cv_rows = (cm.unpack_bits_rows(cbits_np, CH)
                        if cbits_np is not None else None)
             for j in range(G):
@@ -256,8 +255,10 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                     redo[o : o + w] = True
                     conv[o : o + w] = False
                     continue
-                lens[o : o + w] = l_rows[j, :w]
-                dists[o : o + w] = d_rows[j, :w]
+                l, dd = native.unpack_claims(
+                    bits_np[j], pk[j, : counts_np[j]], CH)
+                lens[o : o + w] = l[:w]
+                dists[o : o + w] = dd[:w]
                 if cv_rows is not None:
                     conv[o : o + w] = cv_rows[j, :w]
         return lens, dists, conv, redo

@@ -195,3 +195,45 @@ def test_incompressible_stored(reference):
     assert got == reference.compress(data, 9)
     assert len(got) == len(data) + 15
     assert native.decompress(got) == data
+
+
+def test_unpack_claims_matches_numpy_inverse():
+    """native.unpack_claims == the numpy unpacker on random decay packings
+    (the device packer's head rule, ops/chunkmatch.py pack_results)."""
+    from smallz4_tpu.ops import chunkmatch as cm
+
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        n = 1024
+        lens = np.ones(n, np.int32)
+        dists = np.zeros(n, np.int32)
+        i = 0
+        while i < n:
+            if rng.random() < 0.5:
+                L = int(rng.integers(4, 70))
+                d = int(rng.integers(1, 60000))
+                span = min(int(rng.integers(1, L + 3)), n - i)
+                for k in range(span):
+                    v = L - k
+                    lens[i + k] = v if v >= 4 else 1
+                    dists[i + k] = d if v >= 4 else 0
+                i += span
+            else:
+                i += int(rng.integers(1, 9))
+        pl = np.roll(lens, 1)
+        pd = np.roll(dists, 1)
+        head = (lens != np.where(pl >= 5, pl - 1, 1)) | \
+               (dists != np.where(pl >= 5, pd, 0))
+        head[0] = True
+        words = np.zeros(n // 32, np.uint32)
+        idx = np.flatnonzero(head)
+        for p in idx:
+            words[p // 32] |= np.uint32(1 << (p % 32))
+        packed = ((np.minimum(lens[idx], 65535).astype(np.int64) << 16)
+                  | dists[idx]).astype(np.int32)
+        l1, d1 = native.unpack_claims(words, packed, n)
+        l2, d2 = cm.unpack_results(words.view(np.int32), packed, chunk=n)
+        np.testing.assert_array_equal(l1, lens)
+        np.testing.assert_array_equal(d1, dists)
+        np.testing.assert_array_equal(l2, lens)
+        np.testing.assert_array_equal(d2, dists)
