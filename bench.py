@@ -96,7 +96,9 @@ tag = "tpu" if on_tpu else "cpu-sim"
 kern = "chunk" if on_tpu else "walk"
 kw = dict(kernel=kern) if on_tpu else dict(kernel=kern, max_candidates=16)
 report = {"entries": [], "probe_mbps": None, "kernel": kern}
-warm_n = 2 << 20
+# warm both engine paths: block 0 (dict/empty halo) AND a follow-on block
+# (history halo) — 5 MB spans two blocks at the default 4 MB block size
+warm_n = min(len(corpus), 5 << 20)
 t0 = time.time()
 pipeline.compress(corpus[:warm_n], 9, **kw)  # warm/compile
 warm = time.time() - t0

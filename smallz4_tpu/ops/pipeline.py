@@ -143,11 +143,15 @@ def compress(
 
 def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                       stages):
-    """Chunk-engine stream driver: one fused device scan per GROUP chunks,
-    the sorted planes of each chunk carried device-resident as the next
-    chunk's halo (zero host round-trips on the search's critical path);
-    head/delta-packed results stream back and the host runs refine (parity
-    mode) + DP + emit in the worker pool.
+    """Chunk-engine stream driver: one fused device scan per GROUP chunks;
+    within a block the scan carries each chunk's sorted planes as the next
+    chunk's halo (zero host round-trips on the search's critical path).
+    Each BLOCK's leading halo is re-sorted from its raw history bytes —
+    sort_chunk is deterministic, so this equals the carried planes while
+    making blocks fully independent: they round-robin across every local
+    device (data parallelism over blocks with no cross-device traffic).
+    Head/delta-packed results stream back; refine (parity mode) + DP +
+    emit run in the worker pool.
 
     Contract (checked by the caller): block_size % (GROUP*CHUNK) == 0, so
     every block starts at a scan-call boundary and the boundary cut binds
@@ -155,6 +159,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     """
     import time as _time
 
+    import jax
     import jax.numpy as jnp
 
     from . import chunkmatch as cm
@@ -163,25 +168,34 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     CH, G, CAP = cm.CHUNK, cm.GROUP, cm.HEAD_CAP
     n = len(data)
     arr = np.frombuffer(data, np.uint8)
+    devices = jax.local_devices()
 
     t0 = _time.perf_counter()
-    if d:
-        hb = np.zeros(CH + 16, np.uint8)
-        hb[CH - d : CH] = np.frombuffer(vdata[:d], np.uint8)
-        take = min(16, n)
-        hb[CH : CH + take] = arr[:take]
-        halo = cm.sort_chunk(jnp.asarray(hb), jnp.int32(CH - d),
-                             jnp.int32(CH), chunk=CH)
-    else:
-        halo = cm.empty_halo(chunk=CH)
 
-    def dispatch_block(start, end, halo):
-        """Queue every scan of one block; returns (new halo, ys list)."""
+    def block_halo(start, dev):
+        """Sorted halo planes for the block at ``start``, on ``dev``."""
+        if legacy or (start == 0 and not d):
+            return jax.device_put(cm.empty_halo(chunk=CH), dev)
+        hb = np.zeros(CH + 16, np.uint8)
+        if start == 0:  # dictionary tail, right-aligned (virtual prefix)
+            lo_valid = CH - d
+            hb[lo_valid:CH] = np.frombuffer(vdata[:d], np.uint8)
+        else:           # preceding 64 KiB of the stream
+            lo_valid = 0
+            hb[:CH] = arr[start - CH : start]
+        take = min(16, n - start)
+        if take > 0:
+            hb[CH : CH + take] = arr[start : start + take]
+        return cm.sort_chunk(jax.device_put(hb, dev), jnp.int32(lo_valid),
+                             jnp.int32(CH), chunk=CH)
+
+    def dispatch_block(bi, start, end):
+        """Queue every scan of one block on its round-robin device."""
+        dev = devices[bi % len(devices)]
         bs = end - start
         n_groups = -(-bs // (G * CH))
         block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
-        if legacy:
-            halo = cm.empty_halo(chunk=CH)
+        halo = block_halo(start, dev)
         entries = []
         for gi in range(n_groups):
             g0 = gi * G
@@ -208,9 +222,9 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
             else:
                 cut_gram, cut_pos = jnp.int32(0), jnp.int32(-1)
             halo, ys = cm.match_chunks(
-                halo, jnp.asarray(bufs), jnp.asarray(cand),
-                jnp.asarray(vhi), jnp.asarray(lim), cut_gram, cut_pos,
-                n_chunks=G, head_cap=CAP, chunk=CH)
+                halo, jax.device_put(bufs, dev), jax.device_put(cand, dev),
+                jax.device_put(vhi, dev), jax.device_put(lim, dev),
+                cut_gram, cut_pos, n_chunks=G, head_cap=CAP, chunk=CH)
             bits, packed, counts, cbits = ys
             # start the host copies now: by drain time only the
             # counts-dependent packed slice still needs a round trip.
@@ -222,7 +236,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 except Exception:
                     pass
             entries.append((g0, ys))
-        return halo, entries
+        return entries
 
     def collect_block(start, end, entries):
         """Fetch one block's device results (main thread; the dispatch-time
@@ -291,7 +305,9 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
             return payload, False
         return data[start:end], True
 
-    WINDOW = 8  # in-flight blocks: bounds device + host result memory
+    # in-flight blocks: bounds device + host result memory while keeping
+    # every local device busy
+    WINDOW = max(8, 2 * len(devices))
     pool = host_par._pool(None)
     pending = []  # (start, end, entries)
     jobs = []     # (start, future)
@@ -307,8 +323,8 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
             _time.perf_counter() - t)
 
     t0 = _time.perf_counter()
-    for start, end in blocks:
-        halo, entries = dispatch_block(start, end, halo)
+    for bi, (start, end) in enumerate(blocks):
+        entries = dispatch_block(bi, start, end)
         pending.append((start, end, entries))
         stages["device_dispatch"] = stages.get("device_dispatch", 0.0) + (
             _time.perf_counter() - t0)
