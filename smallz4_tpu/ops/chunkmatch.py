@@ -111,10 +111,13 @@ def _probe_kernel(chunk, refs):
     """Neighbor probes over merged sorted planes.
 
     in:  cut (SMEM (1,2): cut_gram, cut_pos), k1, combo, e1, e2
-    out: best_len (0 or 4..12), best_dist, flags (bit0 ext-capped,
-         bit1 group extends past the +-8 window)
+    out: payload (best_len<<16 | best_dist; len is 0 or 4..12),
+         key ((raw - chunk)<<3 | flags for current-chunk records, sunk to
+         the back otherwise; flags bit0 ext-capped, bit1 group extends
+         past the +-8 window) — two planes so the compact router and the
+         position unsort move half the data
     """
-    cut_ref, k1_ref, combo_ref, e1_ref, e2_ref, len_ref, dist_ref, flag_ref = refs
+    cut_ref, k1_ref, combo_ref, e1_ref, e2_ref, payload_ref, key_ref = refs
     cut_gram, cut_pos = cut_ref[0, 0], cut_ref[0, 1]
     k1, combo, e1, e2 = k1_ref[:], combo_ref[:], e1_ref[:], e2_ref[:]
     rows = k1.shape[0]
@@ -149,9 +152,12 @@ def _probe_kernel(chunk, refs):
 
     flags = (best_len >= EXT_REACH).astype(jnp.int32) \
         | (group_more.astype(jnp.int32) << 1)
-    len_ref[:] = best_len
-    dist_ref[:] = best_dist
-    flag_ref[:] = flags
+    payload_ref[:] = (best_len << 16) | best_dist
+    # current-chunk records carry (local pos << 3) | flags; halo records
+    # sink behind them (the compact keeps keys < 8*chunk)
+    local = raw - chunk
+    key_ref[:] = jnp.where(local >= 0, (local << 3) | flags,
+                           jnp.int32(8 * chunk))
 
 
 def _prefix_count(keep, slot, rows):
@@ -199,20 +205,17 @@ def _bitmask_words(flag, slot, rows):
 
 
 def _compact_kernel(chunk, refs):
-    """Pack records of the *current* chunk (raw pos >= chunk) to the
-    front, preserving order.  Payloads: raw pos (local), len, dist,
-    flags."""
-    combo_ref, len_ref, dist_ref, flag_ref = refs[:4]
-    outs = refs[4:]
-    combo = combo_ref[:]
-    rows = combo.shape[0]
-    raw = combo & POS_MASK
-    keep = raw >= chunk
+    """Pack records of the *current* chunk (key < 8*chunk) to the front,
+    preserving order.  Two planes: key ((pos<<3)|flags), payload
+    (len<<16|dist)."""
+    key_ref, payload_ref, okey_ref, opay_ref = refs
+    key = key_ref[:]
+    rows = key.shape[0]
+    keep = key < 8 * chunk
     slot = sortnet._flat_iota(rows)
-    payload, _ = _route_front(
-        keep, slot, rows, [raw - chunk, len_ref[:], dist_ref[:], flag_ref[:]])
-    for o, p in zip(outs, payload):
-        o[:] = p
+    (okey, opay), _ = _route_front(keep, slot, rows, [key, payload_ref[:]])
+    okey_ref[:] = okey
+    opay_ref[:] = opay
 
 
 def _pallas_planes(kernel, planes, n_out, scalars=None):
@@ -408,20 +411,21 @@ def probe_pair(
     m_k1, m_combo, m_e1, m_e2 = sortnet.merge_sorted(*planes, n_keys=2)
 
     cut = jnp.stack([cut_gram, cut_pos]).reshape(1, 2).astype(jnp.int32)
-    p_len, p_dist, p_flag = _pallas_planes(
+    p_pay, p_key = _pallas_planes(
         functools.partial(_probe_kernel, chunk),
         [m_k1.view(jnp.int32), m_combo.view(jnp.int32), m_e1, m_e2],
-        3, scalars=cut)
+        2, scalars=cut)
 
-    c_raw, c_len, c_dist, c_flag = _pallas_planes(
-        functools.partial(_compact_kernel, chunk),
-        [m_combo.view(jnp.int32), p_len, p_dist, p_flag], 4)
-    c_raw, c_len, c_dist, c_flag = (x[:chunk] for x in
-                                    (c_raw, c_len, c_dist, c_flag))
+    c_key, c_pay = _pallas_planes(
+        functools.partial(_compact_kernel, chunk), [p_key, p_pay], 2)
+    c_key, c_pay = c_key[:chunk], c_pay[:chunk]
 
-    # unsort to position order (raw pos is a permutation of [0, CHUNK))
-    _, lens0, dists0, flags0 = sortnet.sort_records(
-        c_raw.view(jnp.uint32), c_len, c_dist, c_flag, n_keys=1)
+    # unsort to position order ((key >> 3) is a permutation of [0, CHUNK))
+    s_key, s_pay = sortnet.sort_records(c_key.view(jnp.uint32), c_pay,
+                                        n_keys=1)
+    flags0 = (s_key & 7).astype(jnp.int32)
+    lens0 = (s_pay >> 16) & 0xFFFF
+    dists0 = s_pay & 0xFFFF
 
     # same-distance doubling: 12-byte claims extend to exact full lengths
     # (distance-1 byte runs resolve here too); claims stay byte-verified
