@@ -279,10 +279,18 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
 
     def finish(start, end, fetched):
         """Worker-pool tail: unpack + refine (parity / overflow) + DP +
-        emit."""
-        lens, dists, conv, redo = unpack_block(start, end, fetched)
+        emit.  ``fetched is None`` = CPU-assist block: the whole search
+        runs on the host matcher (exact, so parity-mode output is
+        independent of which engine a block landed on)."""
         bs = end - start
         vstart, vend = start + d, end + d
+        if fetched is None:
+            lens = np.ones(bs, np.int32)
+            dists = np.zeros(bs, np.int32)
+            conv = np.zeros(bs, bool)
+            redo = np.ones(bs, bool)
+        else:
+            lens, dists, conv, redo = unpack_block(start, end, fetched)
         tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
         lens[bs - tail :] = 1
         dists[bs - tail :] = 0
@@ -309,32 +317,81 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     # every local device busy
     WINDOW = max(8, 2 * len(devices))
     pool = host_par._pool(None)
-    pending = []  # (start, end, entries)
-    jobs = []     # (start, future)
+    pending = []  # (bi, start, end, entries)
+    jobs = {}     # bi -> future -> (payload, stored)
+
+    # CPU-assist (hybrid scheduling): in parity mode every block encodes
+    # to the same exact bytes whichever engine it lands on, so idle host
+    # cores take whole blocks from the BACK of the stream while the
+    # device works from the front.  Off in fast mode by default (device
+    # claims differ from exact host claims, which would make the output
+    # scheduling-dependent).
+    import os as _os
+    import threading
+
+    assist_default = "1" if parity else "0"
+    n_assist = max(0, int(_os.environ.get("SMALLZ4_TPU_CPU_ASSIST",
+                                          assist_default)))
+    fence = threading.Lock()
+    claim = {"front": 0, "back": len(blocks)}
+
+    def claim_front():
+        with fence:
+            if claim["front"] >= claim["back"]:
+                return -1
+            bi = claim["front"]
+            claim["front"] += 1
+            return bi
+
+    def assist_loop():
+        while True:
+            with fence:
+                if claim["back"] - 1 < claim["front"]:
+                    return
+                claim["back"] -= 1
+                bi = claim["back"]
+            start, end = blocks[bi]
+            jobs[bi] = _Done(finish(start, end, None))
+
+    class _Done:
+        def __init__(self, value):
+            self._value = value
+
+        def result(self):
+            return self._value
+
+    assist_futures = [pool.submit(assist_loop)
+                      for _ in range(min(n_assist, max(0, len(blocks) - 1)))]
 
     def drain(limit):
         nonlocal pending
         t = _time.perf_counter()
         while len(pending) > limit:
-            start, end, entries = pending.pop(0)
+            bi, start, end, entries = pending.pop(0)
             fetched = collect_block(start, end, entries)
-            jobs.append(((start, end), pool.submit(finish, start, end, fetched)))
+            jobs[bi] = pool.submit(finish, start, end, fetched)
         stages["device_sync"] = stages.get("device_sync", 0.0) + (
             _time.perf_counter() - t)
 
     t0 = _time.perf_counter()
-    for bi, (start, end) in enumerate(blocks):
+    while True:
+        bi = claim_front()
+        if bi < 0:
+            break
+        start, end = blocks[bi]
         entries = dispatch_block(bi, start, end)
-        pending.append((start, end, entries))
+        pending.append((bi, start, end, entries))
         stages["device_dispatch"] = stages.get("device_dispatch", 0.0) + (
             _time.perf_counter() - t0)
         drain(WINDOW)
         t0 = _time.perf_counter()
     drain(0)
+    for f in assist_futures:
+        f.result()
 
     t0 = _time.perf_counter()
-    for (start, end), job in jobs:
-        payload, stored = job.result()
+    for bi, (start, end) in enumerate(blocks):
+        payload, stored = jobs[bi].result()
         out += fmt.build_block_header(len(payload), stored, legacy)
         out += payload
     stages["host_refine_dp_emit"] = stages.get("host_refine_dp_emit", 0.0) + (

@@ -263,6 +263,18 @@ def test_pipeline_chunk_engine_head_overflow(_tiny_chunks, monkeypatch):
     assert native.decompress(fast) == data
 
 
+def test_pipeline_chunk_engine_cpu_assist(_tiny_chunks, monkeypatch):
+    """Hybrid scheduling: host workers take whole blocks from the back of
+    the stream; the mixed device/host stream stays valid."""
+    from smallz4_tpu import native
+    from smallz4_tpu.ops import pipeline
+
+    monkeypatch.setenv("SMALLZ4_TPU_CPU_ASSIST", "1")
+    data = _mixed_stream(6 * C + 100, seed=17)
+    fast = pipeline.compress(data, 9, block_size=2 * C, kernel="chunk")
+    assert native.decompress(fast) == data
+
+
 def test_pipeline_chunk_engine_dictionary(_tiny_chunks):
     from smallz4_tpu import native
     from smallz4_tpu.ops import pipeline
