@@ -275,6 +275,19 @@ def test_pipeline_chunk_engine_cpu_assist(_tiny_chunks, monkeypatch):
     assert native.decompress(fast) == data
 
 
+def test_pipeline_chunk_engine_legacy(_tiny_chunks):
+    """Legacy frames through the chunk engine: empty per-block halos (no
+    history carry), parity with the native legacy stream."""
+    from smallz4_tpu import native
+    from smallz4_tpu.ops import pipeline
+
+    data = _mixed_stream(C + 200, seed=23)  # single legacy block
+    want = native.compress(data, 9, legacy=True, block_size=2 * C)
+    got = pipeline.compress(data, 9, legacy=True, block_size=2 * C,
+                            parity=True, kernel="chunk")
+    assert got == want
+
+
 def test_pipeline_chunk_engine_dictionary(_tiny_chunks):
     from smallz4_tpu import native
     from smallz4_tpu.ops import pipeline
