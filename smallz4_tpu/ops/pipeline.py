@@ -166,6 +166,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     from ..parallel import host as host_par
 
     CH, G, CAP = cm.CHUNK, cm.GROUP, cm.HEAD_CAP
+    PREFETCH = min(CAP, max(256, CH // 16))  # speculative packed prefix
     n = len(data)
     arr = np.frombuffer(data, np.uint8)
     devices = jax.local_devices()
@@ -226,16 +227,18 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 jax.device_put(vhi, dev), jax.device_put(lim, dev),
                 cut_gram, cut_pos, n_chunks=G, head_cap=CAP, chunk=CH)
             bits, packed, counts, cbits = ys
-            # start the host copies now: by drain time only the
-            # counts-dependent packed slice still needs a round trip.
-            # conv bits are only consumed by the parity refine — fast mode
-            # never fetches them (the link prices every byte)
-            for a in (bits, counts) + ((cbits,) if parity else ()):
+            # start the host copies now: the packed prefix covers the
+            # common case, so by drain time only rare head-heavy chunks
+            # still pay a counts-dependent round trip.  conv bits are only
+            # consumed by the parity refine — fast mode never fetches them
+            # (the link prices every byte)
+            pk_head = packed[:, :PREFETCH]
+            for a in (bits, counts, pk_head) + ((cbits,) if parity else ()):
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     pass
-            entries.append((g0, ys))
+            entries.append((g0, (bits, packed, counts, cbits, pk_head)))
         return entries
 
     def collect_block(start, end, entries):
@@ -243,10 +246,13 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         copy_to_host_async means only the counts-dependent packed slice
         still pays a round trip here).  Unpacking happens in the pool."""
         fetched = []
-        for g0, (bits, packed, counts, cbits) in entries:
+        for g0, (bits, packed, counts, cbits, pk_head) in entries:
             counts_np = np.asarray(counts)
             maxp = max(1, int(counts_np.max()))
-            pk = np.asarray(packed[:, : min(maxp, CAP)])
+            if maxp <= PREFETCH:
+                pk = np.asarray(pk_head)  # already in flight since dispatch
+            else:
+                pk = np.asarray(packed[:, : min(maxp, CAP)])
             fetched.append((g0, np.asarray(bits), pk, counts_np,
                             np.asarray(cbits) if parity else None))
         return fetched
