@@ -75,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
     block_size: int | None = None  # --block-size=N
     content_checksum = False    # --checksum (spec content checksum)
     max_candidates = 16     # tpu engine search cap (profiles override)
+    kernel = None           # --kernel=chunk|sort|walk (tpu device kernel)
     parity = False          # tpu engine exact -9 streams
     want_report = False     # --report: RunReport JSON on stderr
 
@@ -100,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
             key, _, val = arg[2:].partition("=")
             if key == "engine" and val in ("auto", "native", "tpu", "host", "oracle"):
                 engine = val
+            elif key == "kernel" and val in ("chunk", "sort", "walk"):
+                kernel = val
             elif key == "threads" and val.isdigit():
                 threads = int(val)
             elif key == "block-size" and val.isdigit():
@@ -186,7 +189,7 @@ def main(argv: list[str] | None = None) -> int:
     if engine in ("tpu", "host", "oracle"):
         enc = _BufferedEncoder(engine, level, legacy, dictionary, block_size,
                                threads, max_candidates=max_candidates,
-                               parity=parity, report=report)
+                               parity=parity, report=report, kernel=kernel)
     elif native.available():
         enc = native.Encoder(level=level, legacy=legacy, dictionary=dictionary,
                              block_size=block_size,
@@ -211,10 +214,11 @@ class _BufferedEncoder:
     streaming pump interface."""
 
     def __init__(self, engine, level, legacy, dictionary, block_size, threads,
-                 max_candidates=16, parity=False, report=None):
+                 max_candidates=16, parity=False, report=None, kernel=None):
         self.engine, self.level, self.legacy = engine, level, legacy
         self.dictionary, self.block_size, self.threads = dictionary, block_size, threads
         self.max_candidates, self.parity, self.report = max_candidates, parity, report
+        self.kernel = kernel
         self.buf = bytearray()
 
     def write(self, chunk, final=False) -> bytes:
@@ -228,7 +232,8 @@ class _BufferedEncoder:
                                      dictionary=self.dictionary,
                                      block_size=self.block_size,
                                      max_candidates=self.max_candidates,
-                                     parity=self.parity, report=self.report)
+                                     parity=self.parity, report=self.report,
+                                     kernel=self.kernel)
         if self.engine == "host":
             if self.legacy:
                 error("host-parallel engine supports the modern format only")
