@@ -203,26 +203,40 @@ inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
 inline void find_longest(const MatchTables &t, const uint8_t *buf,
                          int64_t buf_zero, int64_t min_pos, int64_t p,
                          int64_t q0, int64_t cap, int64_t max_chain,
-                         int64_t run_start, int aux_levels, int32_t *out_len,
+                         int64_t run_start, int64_t run_ins_tail,
+                         int aux_levels, int32_t *out_len,
                          int32_t *out_dist) {
   const uint8_t *cur = buf + (p - buf_zero);
   const uint32_t gram = load32(cur);
-  /* Byte-run interval skip: when p sits in an equal-byte run with a pure
-   * 4-gram, every candidate q in (run_start, p) has the same common
-   * prefix (run end minus p) — none can improve after the nearest one is
-   * evaluated, so hops jump from run_start's links instead of crawling
-   * the run (quadratic -> constant).  Chain cuts inside the interval are
-   * still honored by the post-hop barrier guards. */
-  const int64_t rskip =
-      (run_start < p && cur[0] == cur[1] && cur[1] == cur[2] &&
-       cur[2] == cur[3])
-          ? run_start
-          : INT64_MAX;
   /* Boundary chain cuts (block-boundary re-insert, smallz4.h:667,676,720)
    * break the re-inserted position's 4-byte chain.  The 4-chain honors
    * them naturally (its ring link is -1); skip-list hops must not jump
    * past the nearest cut that lies on p's own 4-chain. */
   const int64_t barrier = t.barrier_for(p, hash_gram(gram));
+  /* Byte-run interval skip: when p sits in an equal-byte run with a pure
+   * 4-gram, every candidate q in (run_start, p) has the same common
+   * prefix (run end minus p) — none can improve after the nearest one is
+   * evaluated, so hops jump from the snap target's links instead of
+   * crawling the run (quadratic -> constant).  The snap target must be a
+   * LEGAL hop source: an actually-inserted position within the window,
+   * >= min_pos and >= barrier.  An out-of-window (or never-inserted) run
+   * head's 64 Ki ring slot belongs to a newer position, so hopping from
+   * it can return a candidate above the snap point and cycle forever; a
+   * head below a chain cut would leak candidates past the cut (both seen
+   * on >64 KiB runs, regression a52b318).  The head itself is the best
+   * target when legal; otherwise snap to the earliest legal member of
+   * the run's contiguously-inserted suffix [run_ins_tail, p) — skipped
+   * candidates are still all same-prefix non-improvers, and the hop
+   * source's ring slot is guaranteed its own. */
+  int64_t rskip = INT64_MAX;
+  if (run_start < p && cur[0] == cur[1] && cur[1] == cur[2] &&
+      cur[2] == cur[3]) {
+    const int64_t lo =
+        std::max({p - kMaxDistance, min_pos, barrier});
+    int64_t s = run_start;
+    if (s < lo) s = std::max(run_ins_tail, lo);
+    if (s < p) rskip = s;
+  }
   int64_t best = 1, best_dist = 0, steps = max_chain;
   int64_t q = q0;
   int lvl = -1; /* -1 = 4-byte hash chain; j >= 0 = aux chain kAuxLen[j] */
@@ -307,6 +321,11 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
   bool lazy_eval = false;
   int64_t i = -lookback;
   int64_t run_start = base - lookback; /* head of the current equal-byte run */
+  /* start of the run's contiguously-inserted suffix: every position in
+   * [run_ins_tail, p) went through insert_and_gate (only the byte-run
+   * shortcut skips the insert) — legal snap targets for find_longest's
+   * run interval skip */
+  int64_t run_ins_tail = run_start;
   constexpr int64_t kPF = 8; /* head-table prefetch distance */
   /* last scanned i: within this call's range AND >= 12 before block end */
   const int64_t scan_end =
@@ -314,7 +333,7 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
   for (; i < scan_end; i++) {
     const int64_t p = base + i;
     const uint8_t *pp = buf + (p - buf_zero);
-    if (i > -lookback && pp[0] != pp[-1]) run_start = p;
+    if (i > -lookback && pp[0] != pp[-1]) run_start = run_ins_tail = p;
     if (i + kPF < scan_end) {
       /* the insert keys of position p+kPF are already computable: hide
        * the head tables' cache latency behind the current walk */
@@ -334,6 +353,7 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       if (dists[i - 1] == 1 && plen > kMaxSameLetter) {
         lens[i] = plen - 1;
         dists[i] = 1;
+        run_ins_tail = p + 1; /* p skips the insert */
         continue;
       }
     }
@@ -355,7 +375,7 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       lazy_eval = false;
     }
     find_longest(t, buf, buf_zero, min_pos, p, q0, match_limit - p, max_chain,
-                 run_start, aux_levels, &lens[i], &dists[i]);
+                 run_start, run_ins_tail, aux_levels, &lens[i], &dists[i]);
     if ((is_lazy || is_greedy) && lens[i] != 1) {
       lazy_eval = skip == 0;
       skip = lens[i];
@@ -463,12 +483,23 @@ void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
       need_table = true;
       break;
     }
+  /* The table is allocated lazily (only blocks with a >18-byte non-run
+   * match pay for it) and retained per worker thread for reuse.  On reuse
+   * only slots (n, n+128] need re-sentineling: stale entries elsewhere are
+   * unreachable — every slot <= n is rewritten by the descending loop
+   * before any read, and rm_update's combine reads reach at most 2^(j-1)
+   * <= 64 slots past the write cursor. */
   thread_local std::vector<uint64_t> rm_store;
   uint64_t *lvl[kRmLevels] = {nullptr};
   if (need_table) {
-    rm_store.assign(size_t(kRmLevels) * kRmRing, ~uint64_t(0));
+    const bool fresh = rm_store.empty();
+    if (fresh) rm_store.assign(size_t(kRmLevels) * kRmRing, ~uint64_t(0));
     for (int j = 0; j < kRmLevels; j++)
       lvl[j] = rm_store.data() + size_t(j) * kRmRing;
+    if (!fresh)
+      for (int j = 0; j < kRmLevels; j++)
+        for (int64_t a = n + 1; a <= n + 128; a++)
+          lvl[j][a & kRmMask] = ~uint64_t(0);
   }
   auto rm_update = [&](int64_t a) {
     lvl[0][a & kRmMask] = rm_key(cost[size_t(a)], a);
@@ -909,6 +940,13 @@ int64_t tlz4_enc_write(tlz4_enc *e, const uint8_t *in, int64_t n, int final,
     int64_t block_end =
         std::min(e->appended, e->next_block + e->block_size);
     int64_t bs = block_end - e->next_block;
+    /* legacy framing has no per-block size field: a block that decodes to
+     * less than 8 MB ends the stream (smallz4cat.c:325-327).  Emitting a
+     * short NON-final block (only possible with a custom block_size)
+     * would make every later block unreachable — refuse instead. */
+    if (e->legacy && bs < kMaxBlockLegacy &&
+        !(final && block_end == e->appended))
+      return TLZ4_E_ARG;
     /* pause (not error) when the next block couldn't fit: the caller
      * retries with n=0; encoder state is only mutated on emitted blocks */
     if (out_cap - op < 4 + bs + bs / 255 + 64) {
@@ -1398,7 +1436,11 @@ int64_t tlz4_rdec_write(tlz4_rdec *d, const uint8_t *in, int64_t n, int final,
         take = std::min(take, kRing - d->pos);
         take = std::min(take, kRing - rd);
         if (d->delta >= 8 && d->delta >= take) {
-          std::memcpy(d->ring + d->pos, d->ring + rd, size_t(take));
+          /* ranges can still overlap when the read wraps (rd > pos and
+           * take > kRing - delta): memmove's as-if-temp semantics are
+           * correct — every source byte predates the match — while
+           * memcpy would be UB there */
+          std::memmove(d->ring + d->pos, d->ring + rd, size_t(take));
         } else {
           take = std::min(take, d->delta);  /* overlap: RLE chunking */
           std::memmove(d->ring + d->pos, d->ring + rd, size_t(take));

@@ -62,9 +62,11 @@ int main(int argc, char **argv) {
     for (int legacy : {0, 1}) {
       if (legacy && level == 0) continue;
       std::vector<uint8_t> out(size_t(tlz4_compress_bound(int64_t(input.size()))));
+      /* legacy only supports the fixed 8 MB block size (a non-full legacy
+       * block ends the stream), so small blocks are modern-frame only */
       int64_t n = tlz4_compress(input.data(), int64_t(input.size()),
                                 out.data(), int64_t(out.size()), level,
-                                legacy, nullptr, 0, 4096);
+                                legacy, nullptr, 0, legacy ? 0 : 4096);
       if (n < 0) { fprintf(stderr, "seed compress failed\n"); return 1; }
       out.resize(size_t(n));
       seeds.push_back(std::move(out));

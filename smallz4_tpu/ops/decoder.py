@@ -57,12 +57,19 @@ def expand_block(
     # directly — chain depth becomes the match *nesting* depth instead of
     # the run length (an RLE run would otherwise need ~log2(len) rounds)
     k = pos - match_start[sid]
-    raw = match_start[sid] - match_off[sid] + k % match_off[sid]
+    # a literals-only final sequence has match_off == 0; padding positions
+    # past the real output can clip onto it — guard the divisor (mod-by-0
+    # is implementation-defined in XLA) and force those lanes terminal (a
+    # self-referential ptr would spin the pointer-doubling loop forever;
+    # the lanes are sliced away by the caller anyway)
+    off = match_off[sid]
+    raw = match_start[sid] - off + k % jnp.maximum(off, 1)
     hist_pool = HIST_CAP + raw                     # raw < 0: right-aligned hist
     ptr = jnp.where(
         is_lit,
         -(lit_pool + 1),
-        jnp.where(raw >= 0, raw, -(hist_pool + 1)),
+        jnp.where((raw >= 0) & (off > 0), raw,
+                  jnp.where(off > 0, -(hist_pool + 1), -1)),
     )
 
     def body(p):

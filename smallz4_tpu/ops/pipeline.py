@@ -65,6 +65,12 @@ def compress(
         # capped-chain levels have serial skip/probe semantics: host path
         return native.compress(data, level, legacy=legacy, dictionary=dictionary,
                                block_size=block_size)
+    if (legacy and block_size not in (None, fmt.MAX_BLOCK_SIZE_LEGACY)
+            and len(data) > block_size):
+        # a short non-final legacy block would end the stream early
+        # (smallz4cat.c:325-327); single-block streams are fine
+        raise ValueError(
+            "legacy multi-block streams require the fixed 8 MB block size")
     if block_size is None:
         block_size = fmt.MAX_BLOCK_SIZE_LEGACY if legacy else fmt.MAX_BLOCK_SIZE
 
@@ -101,6 +107,8 @@ def compress(
     import jax
 
     on_tpu = any("tpu" in str(dv).lower() for dv in jax.devices())
+    explicit_kernel = bool(kernel) or bool(
+        _os.environ.get("SMALLZ4_TPU_KERNEL", ""))
     if kernel is None:
         kernel = _os.environ.get("SMALLZ4_TPU_KERNEL", "")
     if not kernel:
@@ -113,7 +121,17 @@ def compress(
         # chunk-engine contract: block starts align with scan-call
         # boundaries (the boundary cut binds to a call's chunk 0)
         if block_size % (_cm.GROUP * _cm.CHUNK) != 0:
-            kernel = "sort" if on_tpu else "walk"
+            fallback = "sort" if on_tpu else "walk"
+            if explicit_kernel:
+                import warnings
+
+                warnings.warn(
+                    f"kernel='chunk' requires block_size % "
+                    f"{_cm.GROUP * _cm.CHUNK} == 0 (got {block_size}); "
+                    f"falling back to kernel={fallback!r}",
+                    stacklevel=2,
+                )
+            kernel = fallback
     if kernel not in ("chunk", "sort", "walk"):
         raise ValueError(f"unknown device kernel {kernel!r}")
 

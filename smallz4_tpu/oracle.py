@@ -384,6 +384,14 @@ def compress(
         raise ValueError("legacy format doesn't support dictionaries")
     if legacy and level == 0:
         raise ValueError("legacy format doesn't support uncompressed files")
+    if (legacy and block_size not in (None, fmt.MAX_BLOCK_SIZE_LEGACY)
+            and len(data) > block_size):
+        # legacy framing has no per-block size field: a NON-final block
+        # decoding to < 8 MB ends the stream (smallz4cat.c:325-327), so a
+        # short custom block size on multi-block input would emit an
+        # undecodable stream (single-block streams are fine)
+        raise ValueError(
+            "legacy multi-block streams require the fixed 8 MB block size")
     if block_size is None:
         block_size = fmt.MAX_BLOCK_SIZE_LEGACY if legacy else fmt.MAX_BLOCK_SIZE
     if legacy and (content_checksum or block_checksum):
