@@ -93,6 +93,72 @@ def main() -> int:
             "vs_baseline": round(eff, 3),
         }))
 
+    # PRODUCTION chunk kernel shard_map'd over the mesh (per-device fused
+    # scans + raw-byte halo ppermute, parallel/sharding.sharded_chunk_step).
+    # On the virtual CPU mesh the Mosaic kernels run in interpret mode at
+    # a reduced chunk size — this validates the collective program; real
+    # multi-chip numbers need SMALLZ4_TPU_SCALING_REAL on a slice.
+    from smallz4_tpu.ops import chunkmatch as cm
+
+    on_tpu = bool(devs) and "tpu" in str(devs[0]).lower()
+    if on_tpu:
+        chunk_ctx, CH, n_local = None, cm.CHUNK, 4
+        chunk_sizes = sizes
+    else:
+        # interpret mode executes kernel bodies serially in Python — any
+        # timing would measure the interpreter, not the collectives.  One
+        # 2-device run validates that the sharded chunk program compiles
+        # and executes; per-size JSON comes from real slices only.
+        from jax.experimental.pallas import tpu as pltpu
+
+        chunk_ctx, CH, n_local = pltpu.force_tpu_interpret_mode, 1024, 2
+        chunk_sizes = [n for n in (2,) if n <= maxdev]
+        log("chunk step: virtual CPU mesh -> validate-only (interpret "
+            "mode; no timing JSON)")
+    base_ck = None
+    for nd in chunk_sizes:
+        B = nd * n_local
+        rng_c = np.random.default_rng(1)
+        bufs = rng_c.integers(0, 256, (B, CH + 16), dtype=np.uint8)
+        bufs[:, : CH // 2] = 65
+        cand = np.full(B, CH, np.int32)
+        lim = np.asarray([(B - j) * CH - 5 for j in range(B)], np.int32)
+        cuts_g = np.zeros(B, np.int32)
+        cuts_p = np.full(B, -1, np.int32)
+        halo0 = np.zeros(CH + 16, np.uint8)
+        mesh = sharding.make_mesh(nd)
+        import contextlib
+
+        with (chunk_ctx() if chunk_ctx else contextlib.nullcontext()):
+            step = sharding.sharded_chunk_step(mesh, n_local, chunk=CH,
+                                               head_cap=CH)
+            args = tuple(jnp.asarray(a) for a in
+                         (bufs, cand, cand, lim, cuts_g, cuts_p)) + (
+                jnp.asarray(halo0), jnp.int32(CH))
+            jax.device_get(step(*args))  # compile + warm
+            t0 = time.time()
+            reps = 3
+            for _ in range(reps):
+                out = step(*args)
+            jax.device_get(out)
+        dt = (time.time() - t0) / reps
+        mbps = B * CH / dt / 1e6
+        if not on_tpu:
+            log(f"chunk n={nd}: sharded chunk program ok "
+                f"({dt*1000:.0f} ms interpreted)")
+            continue
+        if base_ck is None:
+            base_ck = mbps / nd
+        eff = mbps / (base_ck * nd)
+        log(f"chunk n={nd}: {dt*1000:.0f} ms for {B} chunks -> {mbps:.1f} "
+            f"MB/s (efficiency {eff*100:.0f}%)")
+        print(json.dumps({
+            "metric": f"sharded_chunk_step_{nd}dev",
+            "value": round(mbps, 2),
+            "unit": "MB/s",
+            "vs_baseline": round(eff, 3),
+        }))
+
     # end-to-end: full compress_sharded (device match + host refine/DP/emit
     # + ordered frame assembly), constant per-device work, verified output
     from smallz4_tpu import native

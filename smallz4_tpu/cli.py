@@ -189,7 +189,8 @@ def main(argv: list[str] | None = None) -> int:
     if engine in ("tpu", "host", "oracle"):
         enc = _BufferedEncoder(engine, level, legacy, dictionary, block_size,
                                threads, max_candidates=max_candidates,
-                               parity=parity, report=report, kernel=kernel)
+                               parity=parity, report=report, kernel=kernel,
+                               progress=progress)
     elif native.available():
         enc = native.Encoder(level=level, legacy=legacy, dictionary=dictionary,
                              block_size=block_size,
@@ -214,34 +215,55 @@ class _BufferedEncoder:
     streaming pump interface."""
 
     def __init__(self, engine, level, legacy, dictionary, block_size, threads,
-                 max_candidates=16, parity=False, report=None, kernel=None):
+                 max_candidates=16, parity=False, report=None, kernel=None,
+                 progress=None):
         self.engine, self.level, self.legacy = engine, level, legacy
         self.dictionary, self.block_size, self.threads = dictionary, block_size, threads
         self.max_candidates, self.parity, self.report = max_candidates, parity, report
         self.kernel = kernel
+        self.progress = progress
         self.buf = bytearray()
+
+    def _block_cb(self):
+        """Per-block progress hook (reference -v parity: stderr updates as
+        output is produced, smallz4.cpp:82-117) for the buffered engines."""
+        p = self.progress
+        if p is None or not p.enabled:
+            return None
+
+        def cb(done_in, done_out, _p=p):
+            _p.bytes_out = done_out
+            _p.report()
+
+        return cb
 
     def write(self, chunk, final=False) -> bytes:
         self.buf += chunk
         if not final:
             return b""
         data = bytes(self.buf)
-        if self.engine == "tpu":
-            from .ops import pipeline
-            return pipeline.compress(data, self.level, legacy=self.legacy,
+        cb = self._block_cb()
+        try:
+            if self.engine == "tpu":
+                from .ops import pipeline
+                return pipeline.compress(data, self.level, legacy=self.legacy,
+                                         dictionary=self.dictionary,
+                                         block_size=self.block_size,
+                                         max_candidates=self.max_candidates,
+                                         parity=self.parity, report=self.report,
+                                         kernel=self.kernel, progress=cb)
+            if self.engine == "host":
+                if self.legacy:
+                    error("host-parallel engine supports the modern format only")
+                from .parallel import host
+                return host.compress(data, self.level,
+                                     block_size=self.block_size or 4 * 1024 * 1024,
                                      dictionary=self.dictionary,
-                                     block_size=self.block_size,
-                                     max_candidates=self.max_candidates,
-                                     parity=self.parity, report=self.report,
-                                     kernel=self.kernel)
-        if self.engine == "host":
-            if self.legacy:
-                error("host-parallel engine supports the modern format only")
-            from .parallel import host
-            return host.compress(data, self.level,
-                                 block_size=self.block_size or 4 * 1024 * 1024,
-                                 dictionary=self.dictionary,
-                                 threads=self.threads)
+                                     threads=self.threads, progress=cb)
+        finally:
+            if cb is not None:
+                # the pump re-counts the returned frame through add_out
+                self.progress.bytes_out = 0
         from . import oracle
         return oracle.compress(data, self.level, legacy=self.legacy,
                                dictionary=self.dictionary,

@@ -337,7 +337,12 @@ def unpack_results(bits, packed, chunk: int = CHUNK):
     return l[0], d[0]
 
 
-HEAD_CAP = 1 << 14  # fetched head slots per chunk (overflow -> host redo)
+HEAD_CAP = 1 << 15  # fetched head slots per chunk (overflow -> host redo).
+                    # Text-heavy corpora run ~19-29 K heads per 64 Ki chunk
+                    # (claim-change density), so 2^14 forced whole-chunk
+                    # host redos; 2^15 covers everything measured while the
+                    # adaptive fetch (collect_block) still ships only the
+                    # realized head count.
 GROUP = 64          # chunks per fused scan call (4 MB at CHUNK = 64 Ki):
                     # one dispatch + one result fetch per default block —
                     # the tunnel/PCIe link prices round-trips, not just bytes
@@ -363,12 +368,20 @@ def match_chunks(
     Carry = the current chunk's sorted planes (device-resident across
     calls, so a whole stream chains through with zero host round-trips).
     Returns (next_halo, (bits, packed[:head_cap], n_heads, conv_bits))
-    with the ys stacked over chunks.  The boundary cut applies to chunk 0
-    only (block starts align with call boundaries; pipeline contract).
+    with the ys stacked over chunks.  Scalar ``cut_gram``/``cut_pos``
+    apply to chunk 0 only (block starts align with call boundaries; the
+    pipeline contract); int32[n_chunks] arrays give every chunk its own
+    boundary cut (the sharded driver's contract, where one call spans
+    several block starts).
     """
-    idx = jnp.arange(n_chunks, dtype=jnp.int32)
-    cgs = jnp.where(idx == 0, cut_gram, 0)
-    cps = jnp.where(idx == 0, cut_pos, -1)
+    cut_gram = jnp.asarray(cut_gram, jnp.int32)
+    cut_pos = jnp.asarray(cut_pos, jnp.int32)
+    if cut_gram.ndim == 1:
+        cgs, cps = cut_gram, cut_pos
+    else:
+        idx = jnp.arange(n_chunks, dtype=jnp.int32)
+        cgs = jnp.where(idx == 0, cut_gram, 0)
+        cps = jnp.where(idx == 0, cut_pos, -1)
 
     def step(carry, xs):
         buf, ch, vh, ml, cg, cp = xs
@@ -453,6 +466,35 @@ def probe_pair(
     # nearest achiever; farther at-cap claims stay unconverged (the
     # reference keeps the nearest among equally long matches)
     conv = conv | (match & (lens2 >= cap) & (dists0 == 1))
+
+    # Backward induction certificate (proof in docs/PARITY.md): a byte-
+    # verified claim (L, d) at p with an EXACT (L-1, d) at p+1 and L
+    # strictly below p's block cap is itself exact — any longer window
+    # candidate at p would shift to a >L-1 candidate at p+1 (same d,
+    # still in-window), contradicting p+1's exactness, and every exact-L
+    # achiever at p shifts into p+1's (L-1)-achiever set, so p+1's
+    # nearest-achiever distance lower-bounds p's, which claim d attains.
+    # Certifies whole match runs from their certified tails (the per-
+    # position reach/window rules only certify claims with LCP < 12 —
+    # without induction every position covered by a long match funnels
+    # to host refine, ~50-90% of match-dense corpora).  log-step suffix
+    # propagation over the decay-chain relation.  Disabled when a
+    # boundary chain cut is live in this chunk: the shift argument needs
+    # candidate reachability to carry from p to p+1, which a cut on
+    # gram(p+1) can break (1/64 of chunks at the default layout).
+    chain_ok = (match & (lens2 >= fmt.MIN_MATCH + 1) & (lens2 < cap)
+                & (_shift_up(lens2, 1, 0) == lens2 - 1)
+                & (_shift_up(dists, 1, 0) == dists)
+                & (cut_pos < 0))
+    c = conv
+    ok = chain_ok
+    s = 1
+    for _ in range(CHAIN_STEPS):
+        c = c | (ok & _shift_up(c, s, False))
+        ok = ok & _shift_up(ok, s, False)
+        s *= 2
+    conv = c
+
     saturated = lens > 65535
     conv = conv & ~saturated
     return (jnp.minimum(lens, 65535).astype(jnp.uint16),

@@ -38,6 +38,7 @@ def compress(
     parity: bool = False,
     report=None,
     kernel: str | None = None,
+    progress=None,
 ) -> bytes:
     """Compress via the device match kernel.  ``level`` selects only the
     frame metadata path here — the device search is always the optimal
@@ -138,13 +139,14 @@ def compress(
     stages: dict = {}
     if kernel == "chunk":
         _compress_chunked(out, data, vdata, d, blocks, legacy, parity,
-                          native, stages)
+                          native, stages, progress=progress)
     else:
         WINDOW = 8  # blocks (~32 MB of input at the default block size)
         for w0 in range(0, len(blocks), WINDOW):
             _process_block_window(
                 out, data, vdata, d, blocks[w0 : w0 + WINDOW], legacy,
                 max_candidates, parity, native, stages, kernel,
+                progress=progress,
             )
     out += fmt.build_end_mark(legacy)
     if report is not None:
@@ -160,7 +162,7 @@ def compress(
 
 
 def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
-                      stages):
+                      stages, progress=None):
     """Chunk-engine stream driver: one fused device scan per GROUP chunks;
     within a block the scan carries each chunk's sorted planes as the next
     chunk's halo (zero host round-trips on the search's critical path).
@@ -418,13 +420,15 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         payload, stored = jobs[bi].result()
         out += fmt.build_block_header(len(payload), stored, legacy)
         out += payload
+        if progress is not None:
+            progress(end, len(out))
     stages["host_refine_dp_emit"] = stages.get("host_refine_dp_emit", 0.0) + (
         _time.perf_counter() - t0)
 
 
 def _process_block_window(out, data, vdata, d, blocks, legacy,
                           max_candidates, parity, native, stages=None,
-                          kernel="walk"):
+                          kernel="walk", progress=None):
     import time as _time
 
     from . import sortmatch
@@ -529,6 +533,8 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
         payload, stored = job.result()  # frame order preserved
         out += fmt.build_block_header(len(payload), stored, legacy)
         out += payload
+        if progress is not None:
+            progress(end, len(out))
     stages["host_refine_dp_emit"] = stages.get("host_refine_dp_emit", 0.0) + (
         _time.perf_counter() - t0)
 

@@ -79,6 +79,7 @@ def compress(
     dictionary: bytes | None = None,
     threads: int | None = None,
     chunk_size: int | None = None,
+    progress=None,
 ) -> bytes:
     """Thread-parallel modern-frame compression, bit-identical to the
     sequential native encoder for block_size >= 64 KB + 12."""
@@ -176,6 +177,8 @@ def compress(
         else:
             out += fmt.build_block_header(bs, True, False)
             out += darr[start:end].tobytes()
+        if progress is not None:
+            progress(end, len(out))
     out += fmt.build_end_mark(False)
     return bytes(out)
 

@@ -141,6 +141,227 @@ def sharded_match_step(mesh: Mesh, block_size: int, max_candidates: int = 64):
     return jax.jit(step)
 
 
+def sharded_chunk_step(mesh: Mesh, n_local: int, chunk: int | None = None,
+                       head_cap: int | None = None):
+    """Build the jitted multi-chip step for the PRODUCTION chunk-merge
+    kernel (ops.chunkmatch): the stream's chunks are sharded contiguously
+    over the mesh, each device ppermutes its last raw chunk to its right
+    neighbor (the 64 KB window halo travels over ICI as bytes — one
+    chunk/device/step, re-sorted locally: sort_chunk is deterministic, so
+    this equals the sequential scan's carried planes bit-for-bit), then
+    runs its local fused scan.  There is no sequential dependency across
+    devices: the halo is a pure function of the neighbor's bytes.
+
+    In:  bufs        uint8[nd*n_local, chunk+16]  (sharded rows)
+         cand_hi, valid_hi, match_limit, cut_gram, cut_pos
+                     int32[nd*n_local]            (sharded; per-chunk cuts
+                     encode block starts — chunkmatch.match_chunks array
+                     cut contract)
+         halo0_buf   uint8[chunk+16]  (replicated: stream-start history,
+                     right-aligned dictionary tail or zeros)
+         halo0_lo    int32            (first valid halo position; chunk =
+                     empty halo)
+    Out: bits [B, chunk//32], packed [B, head_cap], n_heads [B],
+         conv_bits [B, chunk//32]  (B = nd*n_local, sharded)
+    """
+    from ..ops import chunkmatch as cm
+
+    chunk = chunk or cm.CHUNK
+    head_cap = head_cap or cm.HEAD_CAP
+    axis = mesh.axis_names[0]
+    nd = mesh.devices.size
+
+    def step(bufs, cand_hi, valid_hi, match_limit, cut_gram, cut_pos,
+             halo0_buf, halo0_lo):
+        def local(bufs_l, ch_l, vh_l, ml_l, cg_l, cp_l, h0b, h0lo):
+            idx = jax.lax.axis_index(axis)
+            # left neighbor's last raw chunk -> my halo (ring ppermute);
+            # device 0 takes the stream-start halo instead of the wrap
+            prev_buf = jax.lax.ppermute(
+                bufs_l[-1], axis, perm=[(i, (i + 1) % nd) for i in range(nd)])
+            halo_buf = jnp.where(idx == 0, h0b, prev_buf)
+            halo_lo = jnp.where(idx == 0, h0lo, jnp.int32(0))
+            halo = cm.sort_chunk(halo_buf, halo_lo, jnp.int32(chunk),
+                                 chunk=chunk)
+            _, ys = cm.match_chunks(
+                halo, bufs_l, ch_l, vh_l, ml_l, cg_l, cp_l,
+                n_chunks=n_local, head_cap=head_cap, chunk=chunk)
+            return ys
+
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+
+        kwargs = dict(
+            mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis), P(axis), P(axis),
+                      P(axis), P(), P()),
+            out_specs=(P(axis, None), P(axis, None), P(axis),
+                       P(axis, None)),
+        )
+        try:
+            wrapped = shard_map(local, check_vma=False, **kwargs)
+        except TypeError:
+            wrapped = shard_map(local, check_rep=False, **kwargs)
+        return wrapped(bufs, cand_hi, valid_hi, match_limit, cut_gram,
+                       cut_pos, halo0_buf, halo0_lo)
+
+    return jax.jit(step)
+
+
+def compress_sharded_chunks(
+    data: bytes,
+    mesh: Mesh | None = None,
+    block_size: int = fmt.MAX_BLOCK_SIZE,
+    dictionary: bytes | None = None,
+    parity: bool = False,
+) -> bytes:
+    """Level-9 compression with the production chunk kernel sharded over a
+    device mesh (VERDICT r2 #4): the same fused scan the single-chip tpu
+    engine runs, split contiguously across devices with the 64 KB halo
+    hand-off over ICI.  Output framing (and, in parity mode, every byte)
+    is identical to the sequential engines.  Modern frames only (legacy
+    resets history per block and has no halo to exchange — use the host
+    or single-chip paths)."""
+    from .. import native
+    from ..ops import chunkmatch as cm
+
+    data = bytes(data)
+    mesh = mesh or make_mesh()
+    nd = mesh.devices.size
+    n = len(data)
+    CH, CAP = cm.CHUNK, cm.HEAD_CAP
+    if block_size % CH != 0:
+        raise ValueError(f"sharded chunk path needs block_size % {CH} == 0")
+    if (parity and n > block_size
+            and block_size < fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH):
+        # small-block multi-block streams hit the reference's shallow-
+        # lookback replay fine print, where the halo model is not exact —
+        # same delegation as ops.pipeline.compress
+        return native.compress(data, 9, dictionary=dictionary,
+                               block_size=block_size)
+    dict_tail = bytes(dictionary)[-fmt.MAX_DISTANCE:] if dictionary else b""
+    d = len(dict_tail)
+
+    nblocks = max(1, -(-n // block_size))
+    blocks = [(b * block_size, min(n, (b + 1) * block_size))
+              for b in range(nblocks)]
+    n_chunks = max(1, -(-n // CH))
+    n_local = -(-n_chunks // nd)
+    B = n_local * nd
+
+    arr = np.frombuffer(data, np.uint8)
+    bufs = np.zeros((B, CH + 16), np.uint8)
+    cand = np.zeros(B, np.int32)
+    vhi = np.zeros(B, np.int32)
+    lim = np.full(B, -(CH + 16), np.int32)
+    cgs = np.zeros(B, np.int32)
+    cps = np.full(B, -1, np.int32)
+    for j in range(n_chunks):
+        cs = j * CH
+        take = min(CH + 16, n - cs)
+        bufs[j, :take] = arr[cs : cs + take]
+        b = cs // block_size
+        bstart, bend = blocks[b]
+        real = max(0, min(CH, bend - cs))
+        cand[j] = real
+        vhi[j] = real
+        lim[j] = bend - cs - fmt.BLOCK_END_LITERALS
+        if cs == bstart and bstart >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH:
+            # boundary chain cut (reference re-insertion anomaly); same
+            # gate as the sequential engines
+            cg = int.from_bytes(
+                data[bstart - fmt.BLOCK_END_NO_MATCH :
+                     bstart - fmt.BLOCK_END_NO_MATCH + 4], "little")
+            cgs[j] = cg - (1 << 32) if cg >= 1 << 31 else cg
+            cps[j] = CH - fmt.BLOCK_END_NO_MATCH
+
+    halo0 = np.zeros(CH + 16, np.uint8)
+    if d:
+        halo0[CH - d : CH] = np.frombuffer(dict_tail, np.uint8)
+        halo0[CH : CH + min(16, n)] = arr[: min(16, n)]
+        halo0_lo = CH - d
+    else:
+        halo0_lo = CH  # empty halo (stream start)
+
+    step = sharded_chunk_step(mesh, n_local, chunk=CH, head_cap=CAP)
+    args = (bufs, cand, vhi, lim, cgs, cps)
+    if jax.process_count() > 1:
+        from jax.sharding import NamedSharding
+        from jax.experimental import multihost_utils
+
+        axis = mesh.axis_names[0]
+        g_args = []
+        for a in args:
+            spec = P(axis, None) if a.ndim == 2 else P(axis)
+            g_args.append(jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), _local_rows(a, mesh, axis)))
+        ys = step(*g_args, jnp.asarray(halo0), jnp.int32(halo0_lo))
+        fetched = [np.asarray(multihost_utils.process_allgather(y, tiled=True))
+                   for y in ys]
+    else:
+        ys = step(*(jnp.asarray(a) for a in args), jnp.asarray(halo0),
+                  jnp.int32(halo0_lo))
+        fetched = [np.asarray(y) for y in jax.block_until_ready(ys)]
+    bits, packed, counts, cbits = fetched
+
+    # host tail: unpack claims, per-block refine (parity / overflow) + DP +
+    # emit — identical to the single-chip chunk engine's finish stage
+    conv_rows = cm.unpack_bits_rows(cbits, CH)
+
+    def finish(b: int) -> tuple[bytes, bool]:
+        bstart, bend = blocks[b]
+        bs = bend - bstart
+        lens = np.ones(bs, np.int32)
+        dists = np.zeros(bs, np.int32)
+        conv = np.ones(bs, bool)
+        redo = np.zeros(bs, bool)
+        for j in range(bstart // CH, -(-bend // CH)):
+            o = j * CH - bstart
+            w = min(CH, bs - o)
+            if counts[j] > CAP:  # head overflow: host redoes the chunk
+                redo[o : o + w] = True
+                conv[o : o + w] = False
+                continue
+            l, dd = native.unpack_claims(bits[j], packed[j, : counts[j]], CH)
+            lens[o : o + w] = l[:w]
+            dists[o : o + w] = dd[:w]
+            conv[o : o + w] = conv_rows[j, :w]
+        tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
+        lens[bs - tail :] = 1
+        dists[bs - tail :] = 0
+        conv[bs - tail :] = True
+        redo[bs - tail :] = False
+        mask = ~conv if parity else redo
+        block_cut = bstart >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+        if mask.any():
+            hist = dict_tail if b == 0 else data[max(0, bstart - HALO):bstart]
+            ctx = np.frombuffer(hist + data[bstart:bend], np.uint8)
+            native.match_refine(
+                ctx, base=len(hist), bs=bs, lookback=len(hist),
+                mask=mask, lens=lens, dists=dists,
+                cut_pos=(len(hist) - fmt.BLOCK_END_NO_MATCH) if block_cut
+                else -1,
+            )
+        native.estimate_costs(lens, dists)
+        payload = native.emit_block(data[bstart:bend], lens, dists)
+        if len(payload) < bs:
+            return payload, False
+        return data[bstart:bend], True
+
+    from . import host as host_par
+
+    out = bytearray(fmt.build_frame_header(False))
+    pool = host_par._pool(None)
+    for payload, stored in pool.map(finish, range(nblocks)):
+        out += fmt.build_block_header(len(payload), stored=stored,
+                                      legacy=False)
+        out += payload
+    out += fmt.build_end_mark(False)
+    return bytes(out)
+
+
 def compress_sharded(
     data: bytes,
     mesh: Mesh | None = None,

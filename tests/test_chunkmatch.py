@@ -103,6 +103,39 @@ def test_chunk_stream_verified_and_converged_exact(seed):
     assert n_conv > len(data) // 4  # certificate isn't vacuous
 
 
+@pytest.mark.parametrize("seed", [21, 42])
+def test_chunk_stream_induction_certificate_exact(seed):
+    """Match-heavy adversarial corpus for the backward induction
+    certificate: long near-identical fragments (every position sits under
+    a long match, LCP >= the verification reach, so the per-position
+    rules certify almost nothing and induction must carry the load) with
+    single-byte perturbations that break decay chains mid-match.  Every
+    converged claim must equal the brute-force reference walk."""
+    rng = np.random.default_rng(seed)
+    frag = bytearray(rng.integers(97, 103, 300, dtype=np.uint8).tobytes())
+    parts = []
+    while sum(map(len, parts)) < 2 * C:
+        frag[int(rng.integers(0, len(frag)))] ^= 1
+        parts.append(bytes(frag))
+        if rng.random() < 0.3:  # short runs interleaved
+            parts.append(bytes([int(rng.integers(97, 100))]) * 40)
+    data = b"".join(parts)[: 2 * C]
+    arr = np.frombuffer(data, np.uint8).astype(np.int64)
+    lens, dists, conv = _run_stream(data)
+    bl, bd = _brute(arr, 0, len(data))
+    n_conv = 0
+    for p in range(len(data)):
+        if conv[p]:
+            n_conv += 1
+            want_l = bl[p] if bl[p] >= 4 else 1
+            assert lens[p] == want_l, (p, lens[p], want_l)
+            if want_l >= 4:
+                assert dists[p] == bd[p], (p, dists[p], bd[p])
+    # the certificate must actually certify long-match interiors (the
+    # per-position rules alone certify almost nothing on this corpus)
+    assert n_conv > len(data) // 2, n_conv
+
+
 def test_chunk_boundary_cut():
     """The boundary-cut gram's pre-cut occurrences are not candidates."""
     rng = np.random.default_rng(3)

@@ -72,6 +72,71 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(8)
 
 
+@pytest.fixture()
+def _tiny_chunks(monkeypatch):
+    """Shrink the chunk engine for interpret-mode mesh runs (same scale
+    contract as tests/test_chunkmatch.py: parity only holds while every
+    window candidate fits in (halo chunk, current chunk))."""
+    from smallz4_tpu.ops import chunkmatch
+
+    monkeypatch.setattr(chunkmatch, "CHUNK", 1024)
+    monkeypatch.setattr(chunkmatch, "GROUP", 1)
+    monkeypatch.setattr(chunkmatch, "HEAD_CAP", 1024)
+
+
+def test_sharded_chunk_engine_parity(_tiny_chunks):
+    """The PRODUCTION chunk kernel sharded over the virtual mesh: per-
+    device fused scans with the raw-byte halo ppermute must be bit-
+    identical to the sequential native -9 stream (VERDICT r2 #4).  Bit
+    parity at the test chunk size requires every window candidate inside
+    (halo chunk, current chunk) — keep data <= 2 chunks (the _tiny_chunks
+    contract); one chunk per device exercises the ICI halo hand-off."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = 1024
+    data = _corpus(2 * C)  # ONE block spanning two devices' chunks
+    mesh = sharding.make_mesh(2)
+    with pltpu.force_tpu_interpret_mode():
+        frame = sharding.compress_sharded_chunks(
+            data, mesh, block_size=2 * C, parity=True)
+    want = native.compress(data, 9, block_size=2 * C)
+    assert frame == want
+    assert native.decompress(frame) == data
+
+
+def test_sharded_chunk_engine_8dev_roundtrip(_tiny_chunks):
+    """8-device run over many chunks/blocks incl. a partial final chunk
+    and padding rows.  Device claims are byte-verified, so the stream
+    round-trips at any scale; bit parity needs full-size chunks (the
+    certificate's window-coverage premise) and is asserted on the real
+    chip by the dryrun/bench paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = 1024
+    data = _corpus(16 * C + 300)
+    mesh = sharding.make_mesh(8)
+    with pltpu.force_tpu_interpret_mode():
+        for parity in (False, True):
+            frame = sharding.compress_sharded_chunks(
+                data, mesh, block_size=2 * C, parity=parity)
+            assert native.decompress(frame) == data
+
+
+def test_sharded_chunk_engine_dictionary(_tiny_chunks):
+    from jax.experimental.pallas import tpu as pltpu
+
+    C = 1024
+    data = _corpus(C)  # one chunk: the dict halo covers its whole window
+    dictionary = data[: C // 2]
+    mesh = sharding.make_mesh(2)  # row 2 is a padding chunk
+    with pltpu.force_tpu_interpret_mode():
+        frame = sharding.compress_sharded_chunks(
+            data, mesh, block_size=C, dictionary=dictionary, parity=True)
+    want = native.compress(data, 9, block_size=C, dictionary=dictionary)
+    assert frame == want
+    assert native.decompress(frame, dictionary=dictionary) == data
+
+
 def test_sharded_dictionary_broadcast():
     # preset dictionary replicated to all shards (BASELINE config[3])
     data = _corpus(2 * 131072)
