@@ -155,7 +155,7 @@ struct MatchTables {
 inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
                                int64_t buf_zero, int64_t min_pos,
                                int64_t p, uint32_t gram, int64_t buf_end,
-                               int aux_levels) {
+                               int aux_levels, bool need_gate = true) {
   const uint8_t *pp = buf + (p - buf_zero);
   const int64_t slot = p & kMaxDistance;
   /* skip-list chains: same insertion set, sparser keys.  A position whose
@@ -189,6 +189,10 @@ inline int64_t insert_and_gate(MatchTables &t, const uint8_t *buf,
   bool in_window = q >= 0 && p - q <= kMaxDistance && q >= min_pos;
   t.link[slot] = in_window ? q : -1;
   if (!in_window) return -1;
+  /* the exact-gram walk below only serves the caller's candidate gate —
+   * positions whose result is unused (masked-out refine positions,
+   * lookback seeding) stop here with the tables fully updated */
+  if (!need_gate) return -1;
   /* hop same-hash entries until the gram matches exactly */
   while (load32(buf + (q - buf_zero)) != gram) {
     q = t.link[q & kMaxDistance];
@@ -357,8 +361,13 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
         continue;
       }
     }
+    /* the gate result is consumed only when this position will search (or
+     * drive skip bookkeeping, which needs i >= 0); skipping the exact-gram
+     * walk for the rest cuts the refine path's fixed per-position cost */
+    const bool need_gate =
+        i >= 0 && (!refine_mask || refine_mask[i] != 0);
     int64_t q0 = insert_and_gate(t, buf, buf_zero, min_pos, p, load32(pp),
-                                 buf_end, aux_levels);
+                                 buf_end, aux_levels, need_gate);
     if (p == cut_pos) {
       /* emulate the sequential boundary chain cut (re-insertion anomaly,
        * smallz4.h:667,676,720) when running stateless on a halo context */
