@@ -148,11 +148,55 @@ if projected <= budget:
     t0 = time.time()
     pipeline.compress(corpus[:warm_n], 9, parity=True, **kw)
     if (time.time() - t0) * (len(corpus) / warm_n) <= budget:
+        rep_p = RunReport(operation="encode", engine="tpu")
         t0 = time.time()
-        frame = pipeline.compress(corpus, 9, parity=True, **kw)
+        frame = pipeline.compress(corpus, 9, parity=True, report=rep_p, **kw)
         mbps = len(corpus) / (time.time() - t0) / 1e6
         p = os.path.join(outdir, "parity.lz4"); open(p, "wb").write(frame)
         report["entries"].append({"name": f"{tag}-{kern}-parity", "mbps": mbps, "path": p})
+        npos = rep_p.counters.get("n_positions", 0)
+        if npos:
+            # device certificate miss rate = parity-refine volume
+            report["unconv_pct"] = round(
+                100.0 * rep_p.counters.get("n_refine_positions", 0) / npos, 2)
+            print(f"parity refine volume: {report['unconv_pct']}% of "
+                  f"{npos} device positions", file=sys.stderr, flush=True)
+        if on_tpu:
+            # run-heavy adversarial corpus: giant byte runs + repeated
+            # near-identical fragments — the certificate's hostile regime
+            import numpy as _np
+            rng = _np.random.default_rng(3)
+            frag = bytearray(rng.integers(97, 105, 48, dtype=_np.uint8).tobytes())
+            parts, size = [], 0
+            runs = [65300, 131000, 262144]
+            while size < (8 << 20):
+                r = rng.random()
+                if r < 0.3:
+                    parts.append(bytes([len(parts) & 0xFF]) * runs[len(parts) % 3])
+                elif r < 0.8:
+                    burst = []
+                    for _ in range(int(rng.integers(50, 300))):
+                        if rng.random() < 0.2:
+                            frag[int(rng.integers(0, 48))] ^= 1
+                        burst.append(bytes(frag))
+                    parts.append(b"".join(burst))
+                else:
+                    parts.append(rng.integers(0, 256, 30000, dtype=_np.uint8).tobytes())
+                size += len(parts[-1])
+            adv = b"".join(parts)[: 8 << 20]
+            rep_a = RunReport(operation="encode", engine="tpu")
+            os.environ["SMALLZ4_TPU_CPU_ASSIST"] = "0"  # pure device census
+            t0 = time.time()
+            pipeline.compress(adv, 9, parity=True, report=rep_a, **kw)
+            adv_dt = time.time() - t0
+            npos_a = rep_a.counters.get("n_positions", 0)
+            if npos_a:
+                report["unconv_adversarial_pct"] = round(
+                    100.0 * rep_a.counters.get("n_refine_positions", 0) / npos_a, 2)
+                print(f"adversarial refine volume: "
+                      f"{report['unconv_adversarial_pct']}% "
+                      f"({len(adv) / adv_dt / 1e6:.2f} MB/s parity)",
+                      file=sys.stderr, flush=True)
 print(json.dumps(report))
 """
 
@@ -189,7 +233,9 @@ def _tpu_phase_subprocess(corpus: bytes):
         except Exception:
             log("tpu phase produced no report")
             return out, probe
-        probe = {k: report.get(k) for k in ("probe_mbps", "device_match_mbps")}
+        probe = {k: report.get(k) for k in ("probe_mbps", "device_match_mbps",
+                                            "unconv_pct",
+                                            "unconv_adversarial_pct")}
         for item in report["entries"]:
             frame = pathlib.Path(item["path"]).read_bytes()
             out.append((item["name"], item["mbps"], len(frame), frame))

@@ -157,7 +157,12 @@ def compress(
         report.blocks = len(blocks)
         report.wall_s = _time.perf_counter() - t_run
         for k, v in stages.items():
-            report.stages[k] = report.stages.get(k, 0.0) + v
+            # "n_*" entries are integer engine counters (refine volume
+            # etc.), not wall times — route them to report.counters
+            if k.startswith("n_"):
+                report.counters[k] = report.counters.get(k, 0) + v
+            else:
+                report.stages[k] = report.stages.get(k, 0.0) + v
     return bytes(out)
 
 
@@ -190,6 +195,10 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     n = len(data)
     arr = np.frombuffer(data, np.uint8)
     devices = jax.local_devices()
+
+    import threading as _threading
+
+    count_lock = _threading.Lock()  # finish() runs in the worker pool
 
     t0 = _time.perf_counter()
 
@@ -324,6 +333,11 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         redo[bs - tail :] = False
         block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
         mask = ~conv if parity else redo
+        if fetched is not None:  # certificate miss rate: device blocks only
+            with count_lock:
+                stages["n_refine_positions"] = stages.get(
+                    "n_refine_positions", 0) + int(mask.sum())
+                stages["n_positions"] = stages.get("n_positions", 0) + bs
         if mask.any():
             lo = vstart if legacy else max(vstart - HALO, 0)
             base_r = vstart - lo

@@ -37,6 +37,9 @@ class RunReport:
     chips: int = 1
     wall_s: float = 0.0
     stages: dict = dataclasses.field(default_factory=dict)
+    # engine counters (e.g. parity-refine volume: unconv_positions /
+    # total_positions — the device convergence-certificate miss rate)
+    counters: dict = dataclasses.field(default_factory=dict)
 
     @property
     def ratio(self) -> float:
