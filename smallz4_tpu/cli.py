@@ -144,10 +144,12 @@ def main(argv: list[str] | None = None) -> int:
         positional.append(arg)
         pos += 1
 
-    if len(positional) > 2:
-        error("too many arguments")
+    # Surplus positionals are silently ignored, as the reference does;
+    # its output-file branch fires only when that argument is the LAST
+    # one (`argc == nextArgument + 1`, smallz4.cpp:261), so with three or
+    # more positionals output falls back to stdout.
     in_path = positional[0] if len(positional) >= 1 else None
-    out_path = positional[1] if len(positional) >= 2 else None
+    out_path = positional[1] if len(positional) == 2 else None
 
     # legacy restrictions (smallz4.cpp:272-279)
     if legacy and dictionary_path is not None:

@@ -21,6 +21,22 @@ def test_stdin_stdout_roundtrip(reference, corpora):
     assert back.stdout == data
 
 
+def test_surplus_positionals_ignored(tmp_path, reference, corpora):
+    """Reference parity: extra positionals are silently ignored, and the
+    output-file branch fires only when that argument is the LAST one
+    (smallz4.cpp:261 `argc == nextArgument + 1`) — with three or more
+    positionals the frame goes to stdout and no output file is created.
+    Verified against the reference binary this round."""
+    data = corpora["text"]
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    ignored = tmp_path / "ignored.lz4"
+    res = run_cli(["-f", "-9", str(src), str(ignored), "surplus"])
+    assert res.returncode == 0, res.stderr
+    assert res.stdout == reference.compress(data, 9)
+    assert not ignored.exists()
+
+
 def test_level_flag_and_bundling(reference, corpora):
     data = corpora["struct"]
     assert run_cli(["-6"], data).stdout == reference.compress(data, 6)
