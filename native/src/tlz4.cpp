@@ -324,21 +324,40 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
   int64_t skip = 0;
   bool lazy_eval = false;
   int64_t i = -lookback;
-  int64_t run_start = base - lookback; /* head of the current equal-byte run */
+  int64_t i_end = std::min(bs, block_end - base - kBlockEndNoMatch + 1);
+  if (refine_mask) {
+    /* Masked mode: a walk at masked p consults only candidates in
+     * [p - kMaxDistance, p), so inserts outside
+     * [first_masked - (kMaxDistance + kBlockEndNoMatch), last_masked]
+     * cannot influence any output — clamp the scan to that range (the
+     * fixed table-insert cost dominates sparse refines).  The boundary
+     * cut must stay inside the range when live: it rewrites chain
+     * structure that in-range walks may traverse. */
+    int64_t first = -1, last = -1;
+    for (int64_t j = 0; j < bs; j++)
+      if (refine_mask[j]) { first = j; break; }
+    for (int64_t j = bs - 1; j >= 0; j--)
+      if (refine_mask[j]) { last = j; break; }
+    if (first < 0) return;
+    int64_t lo = first - (kMaxDistance + kBlockEndNoMatch);
+    if (cut_pos >= 0) lo = std::min(lo, cut_pos - base);
+    i = std::max(i, lo);
+    i_end = std::min(i_end, last + 1);
+  }
+  int64_t run_start = base + i; /* head of the current equal-byte run */
   /* start of the run's contiguously-inserted suffix: every position in
    * [run_ins_tail, p) went through insert_and_gate (only the byte-run
    * shortcut skips the insert) — legal snap targets for find_longest's
    * run interval skip */
   int64_t run_ins_tail = run_start;
   constexpr int64_t kPF = 8; /* head-table prefetch distance */
-  /* last scanned i: within this call's range AND >= 12 before block end */
-  const int64_t scan_end =
-      std::min(bs, block_end - base - kBlockEndNoMatch + 1);
-  for (; i < scan_end; i++) {
+  /* last scanned i: within this call's range AND >= 12 before block end
+     (i_end may be clamped further by the masked-mode range above) */
+  for (; i < i_end; i++) {
     const int64_t p = base + i;
     const uint8_t *pp = buf + (p - buf_zero);
     if (i > -lookback && pp[0] != pp[-1]) run_start = run_ins_tail = p;
-    if (i + kPF < scan_end) {
+    if (i + kPF < i_end) {
       /* the insert keys of position p+kPF are already computable: hide
        * the head tables' cache latency behind the current walk */
       const uint8_t *fp = pp + kPF;
