@@ -474,73 +474,43 @@ static inline void range_min_last(const uint32_t *c, int64_t lo, int64_t hi,
 }
 #endif
 
-/* Incremental suffix sparse table for the DP's tier range-mins.
+/* Violation-indexed tier queries.
  *
  * The backward cost scan queries "min cost over [i+lo, i+hi], LAST argmin
  * on ties" with tier widths <= 255 (the reference's ascending '<=' scan,
- * smallz4.h:419-456).  Scanning each tier costs O(width); on match-heavy
- * data that dominates the DP.  Since cost[] is produced back-to-front, a
- * ring-buffered sparse table can be maintained incrementally: when cost[a]
- * is finalized, node[j][a] = comb(node[j-1][a], node[j-1][a + 2^(j-1)])
- * reads only already-finalized entries.  Every tier query then costs two
- * node reads.  Levels cover widths to 2^7 (two-node trick reaches 255);
- * the ring covers queries to 2^17 ahead — farther tiers (matches over
- * ~128 KB at distance > 1, pathological self-similar data) fall back to
- * the AVX2 scan.  'Last argmin' = prefer the higher-index node on ties,
- * both in comb and in query (matches the reference's '<=' direction). */
-/* Node = one uint64 key: (cost << 32) | (INT32_MAX - idx).  min(key) is
- * branchless and realizes 'min cost, last argmin' in a single compare:
- * equal costs leave the low half, where the LARGER index is the SMALLER
- * complement. */
-static constexpr int kRmLevels = 8;
-static constexpr int64_t kRmRing = int64_t(1) << 17;
-static constexpr int64_t kRmMask = kRmRing - 1;
-
-static inline uint64_t rm_key(uint32_t m, int64_t idx) {
-  return (uint64_t(m) << 32) | uint32_t(INT32_MAX - int32_t(idx));
-}
-static inline int64_t rm_idx(uint64_t key) {
-  return INT32_MAX - int32_t(uint32_t(key));
-}
-
+ * smallz4.h:419-456).  Key structural fact: cost[] is *almost always
+ * non-increasing backwards* (appending a byte to the span can't usually
+ * cheapen it; exceptions arise where a long match starts just left of a
+ * match-poor stretch).  Wherever cost[a..b] is non-increasing, the
+ * reference's ascending '<=' scan provably ends on the window's right
+ * endpoint: every candidate passes the '<=' test, so the last one (len =
+ * hi) is kept with m = cost[i+hi].  So instead of a range-min structure
+ * we maintain V[j] = the smallest k >= j with cost[k] < cost[k+1] (the
+ * next backward-monotonicity violation), updated with one compare per
+ * position: V[i] = (cost[i] < cost[i+1]) ? i : V[i+1].  A tier window
+ * [i+lo, i+hi] with V[i+lo] >= i+hi is violation-free -> endpoint answer,
+ * O(1).  Windows that do contain a violation (measured: a few dozen per
+ * 256 KB of text; zero on random data) take the exact AVX scan.  Either
+ * way the (min, last-argmin) pair is bit-exact — the certificate only
+ * decides which exact method answers the query. */
 void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
-  std::vector<uint32_t> cost(size_t(n) + 1, 0);
-  bool need_table = false;
-  for (int64_t i = 0; i < n; i++)
-    if (lens[i] > 18 && !(dists[i] == 1 && lens[i] >= kMaxSameLetter)) {
-      need_table = true;
-      break;
-    }
-  /* The table is allocated lazily (only blocks with a >18-byte non-run
-   * match pay for it) and retained per worker thread for reuse.  On reuse
-   * only slots (n, n+128] need re-sentineling: stale entries elsewhere are
-   * unreachable — every slot <= n is rewritten by the descending loop
-   * before any read, and rm_update's combine reads reach at most 2^(j-1)
-   * <= 64 slots past the write cursor. */
-  thread_local std::vector<uint64_t> rm_store;
-  uint64_t *lvl[kRmLevels] = {nullptr};
-  if (need_table) {
-    const bool fresh = rm_store.empty();
-    if (fresh) rm_store.assign(size_t(kRmLevels) * kRmRing, ~uint64_t(0));
-    for (int j = 0; j < kRmLevels; j++)
-      lvl[j] = rm_store.data() + size_t(j) * kRmRing;
-    if (!fresh)
-      for (int j = 0; j < kRmLevels; j++)
-        for (int64_t a = n + 1; a <= n + 128; a++)
-          lvl[j][a & kRmMask] = ~uint64_t(0);
+  /* Scratch is retained per worker thread (bounded by the pool size) and
+   * only the <= 7-entry literal tail is re-initialized per block: every
+   * other slot is written by the descending scan before any read. */
+  constexpr int32_t kNoViol = INT32_MAX;
+  thread_local std::vector<uint32_t> cost_store;
+  thread_local std::vector<int32_t> viol_store;
+  if (int64_t(cost_store.size()) < n + 1) cost_store.resize(size_t(n) + 1);
+  if (int64_t(viol_store.size()) < n + 2) viol_store.resize(size_t(n) + 2);
+  uint32_t *cost = cost_store.data();
+  int32_t *viol = viol_store.data();
+  for (int64_t a = std::max<int64_t>(0, n - kBlockEndLiterals - 1); a <= n;
+       a++) {
+    cost[a] = 0;        /* the always-literal tail */
+    viol[a] = kNoViol;  /* zero cost tail: violation-free */
   }
-  auto rm_update = [&](int64_t a) {
-    lvl[0][a & kRmMask] = rm_key(cost[size_t(a)], a);
-    int64_t step = 1;
-    for (int j = 1; j < kRmLevels; j++) {
-      lvl[j][a & kRmMask] = std::min(lvl[j - 1][a & kRmMask],
-                                     lvl[j - 1][(a + step) & kRmMask]);
-      step <<= 1;
-    }
-  };
-  if (need_table)  /* seed the always-literal tail (cost 0) */
-    for (int64_t a = n; a >= n - kBlockEndLiterals && a >= 0; a--)
-      rm_update(a);
+  viol[n + 1] = kNoViol;
+  const int32_t *V = viol;
 
   int64_t num_lit = kBlockEndLiterals;
   for (int64_t i = n - 1 - kBlockEndLiterals; i >= 0; i--) {
@@ -566,16 +536,11 @@ void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
         const int64_t hi = std::min(L, tier_hi);
         uint32_t m;
         int64_t idx;
-        if (need_table && hi + 256 < kRmRing) {
-          const int64_t w = hi - lo + 1;
-          const int j = 63 - __builtin_clzll(uint64_t(w));
-          uint64_t r = std::min(
-              lvl[j][(i + lo) & kRmMask],
-              lvl[j][(i + hi - (int64_t(1) << j) + 1) & kRmMask]);
-          m = uint32_t(r >> 32);
-          idx = rm_idx(r) - i;
+        if (V[i + lo] >= i + hi) { /* window is non-increasing: endpoint */
+          m = cost[size_t(i + hi)];
+          idx = hi;
         } else {
-          range_min_last(cost.data() + i, lo, hi, &m, &idx);
+          range_min_last(cost + i, lo, hi, &m, &idx);
         }
         if (m + extra <= min_cost) {
           min_cost = m + extra;
@@ -587,9 +552,9 @@ void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
       }
     }
     cost[i] = min_cost;
+    viol[size_t(i)] = min_cost < cost[size_t(i + 1)] ? int32_t(i) : V[i + 1];
     lens[i] = int32_t(best_len);
     if (best_len != 1) num_lit = 0;
-    if (need_table) rm_update(i);
   }
 }
 
