@@ -95,8 +95,10 @@ def make_records(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
 def sort_chunk(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
     """Sort one chunk's records by (gram4, prefix-hash, validity, pos)."""
     k1, combo, e1, e2 = make_records(buf, valid_lo, valid_hi, chunk=chunk)
+    # combo embeds pos -> the (k1, combo) key is distinct per record:
+    # unique=True skips the dead pos-tiebreak compare in every stage
     return sortnet.sort_records(k1, combo, e1.view(jnp.int32),
-                                e2.view(jnp.int32), n_keys=2)
+                                e2.view(jnp.int32), n_keys=2, unique=True)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -421,7 +423,8 @@ def probe_pair(
     cur_combo = (cur[1].view(jnp.int32) + chunk).view(jnp.uint32)
     planes = [jnp.concatenate([h, c]) for h, c in
               zip(halo, (cur[0], cur_combo, cur[2], cur[3]))]
-    m_k1, m_combo, m_e1, m_e2 = sortnet.merge_sorted(*planes, n_keys=2)
+    m_k1, m_combo, m_e1, m_e2 = sortnet.merge_sorted(*planes, n_keys=2,
+                                                     unique=True)
 
     cut = jnp.stack([cut_gram, cut_pos]).reshape(1, 2).astype(jnp.int32)
     p_pay, p_key = _pallas_planes(
@@ -435,7 +438,7 @@ def probe_pair(
 
     # unsort to position order ((key >> 3) is a permutation of [0, CHUNK))
     s_key, s_pay = sortnet.sort_records(c_key.view(jnp.uint32), c_pay,
-                                        n_keys=1)
+                                        n_keys=1, unique=True)
     flags0 = (s_key & 7).astype(jnp.int32)
     lens0 = (s_pay >> 16) & 0xFFFF
     dists0 = s_pay & 0xFFFF

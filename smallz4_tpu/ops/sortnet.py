@@ -56,24 +56,46 @@ def _partner(plane: jnp.ndarray, j: int) -> jnp.ndarray:
     return jnp.where((row & s) == 0, fwd, bwd)
 
 
-def _lex_lt(mine, theirs, n_keys: int):
+def _lex_lt(mine, theirs, n_keys: int, unique: bool = False):
     """Lexicographic < over the key planes with pos as final tiebreak.
     Key planes were sign-flipped by the wrapper, so int32 `<` is unsigned
-    order; pos is a plain non-negative int32."""
-    lt = mine[n_keys] < theirs[n_keys]  # pos tiebreak (always distinct)
-    for k in range(n_keys - 1, -1, -1):
+    order; pos is a plain non-negative int32.  ``unique`` asserts the last
+    key plane is already distinct across records (e.g. combo embeds pos) —
+    the pos-tiebreak compare is then dead work and skipped: the computed
+    relation is identical."""
+    if unique:
+        lt = mine[n_keys - 1] < theirs[n_keys - 1]
+        hi = n_keys - 2
+    else:
+        lt = mine[n_keys] < theirs[n_keys]  # pos tiebreak (always distinct)
+        hi = n_keys - 1
+    for k in range(hi, -1, -1):
         lt = (mine[k] < theirs[k]) | ((mine[k] == theirs[k]) & lt)
     return lt
 
 
-def _stage(state, j: int, k: int, idx: jnp.ndarray, n_keys: int):
+def _idx_bits(rows: int, log_n: int):
+    """Cached boolean planes bit[b][i] = (i >> b) & 1 over flat index i.
+    A stage's direction mask (lower == ascending) is bit[lj] == bit[lk]
+    (idx & k == 0 for k == n is the all-zero plane, log_n entry)."""
+    idx = _flat_iota(rows)
+    return [(idx & (1 << b)) != 0 if b < log_n
+            else jnp.zeros((rows, LANES), jnp.bool_)
+            for b in range(log_n + 1)]
+
+
+def _stage(state, j: int, k: int, idx: jnp.ndarray, n_keys: int,
+           bits=None, unique: bool = False):
     """One compare-exchange stage: XOR distance j inside width-k runs."""
     partners = [_partner(p, j) for p in state]
-    mine_lt = _lex_lt(state, partners, n_keys)
-    lower = (idx & j) == 0
-    ascending = (idx & k) == 0
+    mine_lt = _lex_lt(state, partners, n_keys, unique)
+    if bits is not None:
+        # (idx & j == 0) == (idx & k == 0)  <=>  bit_lj == bit_lk
+        direction = bits[j.bit_length() - 1] == bits[k.bit_length() - 1]
+    else:
+        direction = ((idx & j) == 0) == ((idx & k) == 0)
     # keep own value iff (I am the min-slot) == (my value is the smaller)
-    keep = (lower == ascending) == mine_lt
+    keep = direction == mine_lt
     return tuple(jnp.where(keep, s, p) for s, p in zip(state, partners))
 
 
@@ -91,7 +113,8 @@ def _schedule(n: int) -> tuple[list[int], list[int]]:
     return ks, jls
 
 
-def _stage_dyn(state, jl, k, idx, n_keys: int, log_n: int):
+def _stage_dyn(state, jl, k, idx, n_keys: int, log_n: int,
+               unique: bool = False):
     """One compare-exchange stage with *traced* (jl, k).
 
     The partner exchange dispatches through one lax.switch over the
@@ -104,7 +127,7 @@ def _stage_dyn(state, jl, k, idx, n_keys: int, log_n: int):
 
     partners = jax.lax.switch(jl, [make(b) for b in range(log_n)], state)
     j = jnp.left_shift(jnp.int32(1), jl)
-    mine_lt = _lex_lt(state, partners, n_keys)
+    mine_lt = _lex_lt(state, partners, n_keys, unique)
     lower = (idx & j) == 0
     ascending = (idx & k) == 0
     # keep own value iff (I am the min-slot) == (my value is the smaller)
@@ -112,7 +135,8 @@ def _stage_dyn(state, jl, k, idx, n_keys: int, log_n: int):
     return tuple(jnp.where(keep, s, p) for s, p in zip(state, partners))
 
 
-def _bitonic_kernel_compact(n: int, n_keys: int, n_planes: int, refs):
+def _bitonic_kernel_compact(n: int, n_keys: int, n_planes: int, unique: bool,
+                            refs):
     """Full network over one resident (R,128) record set; stage params
     stream from SMEM and the stage loop is a fori_loop.  Generated code is
     O(log n) — used above the unrolled kernel's compile budget (the
@@ -130,18 +154,20 @@ def _bitonic_kernel_compact(n: int, n_keys: int, n_planes: int, refs):
 
     def body(s, state):
         return _stage_dyn(state, jl_ref[0, s], k_ref[0, s], idx,
-                          n_keys, log_n)
+                          n_keys, log_n, unique)
 
     state = jax.lax.fori_loop(0, n_stages, body, state)
     for o, s in zip(outs, state):
         o[:] = s
 
 
-def _bitonic_kernel_unrolled(n: int, n_keys: int, n_planes: int, refs):
+def _bitonic_kernel_unrolled(n: int, n_keys: int, n_planes: int, unique: bool,
+                             refs):
     """Fully unrolled network: every stage has static roll distances —
     the fast production variant for n <= 2^16."""
     rows = n // LANES
     idx = _flat_iota(rows)
+    bits = _idx_bits(rows, n.bit_length() - 1)
     ins = refs[:n_planes]
     outs = refs[n_planes:]
     state = tuple(r[:] for r in ins)
@@ -149,7 +175,7 @@ def _bitonic_kernel_unrolled(n: int, n_keys: int, n_planes: int, refs):
     while k <= n:
         j = k // 2
         while j >= 1:
-            state = _stage(state, j, k, idx, n_keys)
+            state = _stage(state, j, k, idx, n_keys, bits, unique)
             j //= 2
         k *= 2
     for o, s in zip(outs, state):
@@ -179,11 +205,16 @@ def _from_planes(outs, planes, n, n_keys):
     return tuple(result)
 
 
-@functools.partial(jax.jit, static_argnames=("n_keys", "unroll"))
-def sort_records(*planes, n_keys: int = 1, unroll: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("n_keys", "unroll", "unique"))
+def sort_records(*planes, n_keys: int = 1, unroll: bool | None = None,
+                 unique: bool = False):
     """Sort records lexicographically by the first ``n_keys`` planes
     (uint32 ascending) with the next plane (pos, int32) as tiebreak; any
     remaining planes ride along as payload.
+
+    ``unique=True`` asserts the last key plane is distinct across records
+    (it embeds the position) — the tiebreak compare is then skipped; the
+    comparison relation, and hence the sorted output, is identical.
 
     Record count must be a power of two >= 1024; callers pad with
     all-ones keys (sentinels sink to the top).  Returns the planes in the
@@ -199,14 +230,14 @@ def sort_records(*planes, n_keys: int = 1, unroll: bool | None = None):
 
     if unroll:
         kernel = functools.partial(
-            _bitonic_kernel_unrolled, n, n_keys, len(planes))
+            _bitonic_kernel_unrolled, n, n_keys, len(planes), unique)
         extra_in, extra_specs = (), []
     else:
         ks, jls = _schedule(n)
         extra_in = (jnp.asarray([ks], jnp.int32), jnp.asarray([jls], jnp.int32))
         extra_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         kernel = functools.partial(
-            _bitonic_kernel_compact, n, n_keys, len(planes))
+            _bitonic_kernel_compact, n, n_keys, len(planes), unique)
 
     outs = pl.pallas_call(
         lambda *refs: kernel(refs),
@@ -220,8 +251,8 @@ def sort_records(*planes, n_keys: int = 1, unroll: bool | None = None):
     return _from_planes(outs, planes, n, n_keys)
 
 
-@functools.partial(jax.jit, static_argnames=("n_keys",))
-def merge_sorted(*planes, n_keys: int = 1):
+@functools.partial(jax.jit, static_argnames=("n_keys", "unique"))
+def merge_sorted(*planes, n_keys: int = 1, unique: bool = False):
     """Bitonic merge of two sorted halves: ``planes[i][:n/2]`` and
     ``planes[i][n/2:]`` must each be sorted ascending by the lex key.
     One flip + log2(n) static stages — the cheap way to combine a chunk's
@@ -237,11 +268,12 @@ def merge_sorted(*planes, n_keys: int = 1):
 
     def kernel(refs):
         idx = _flat_iota(rows)
+        bits = _idx_bits(rows, n.bit_length() - 1)
         ins, outs = refs[: len(planes)], refs[len(planes) :]
         state = tuple(r[:] for r in ins)
         j = n // 2
         while j >= 1:
-            state = _stage(state, j, n, idx, n_keys)
+            state = _stage(state, j, n, idx, n_keys, bits, unique)
             j //= 2
         for o, s in zip(outs, state):
             o[:] = s
