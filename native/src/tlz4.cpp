@@ -13,6 +13,7 @@
  */
 #include "../include/tlz4.h"
 
+#include <cassert>
 #include <cstring>
 #include <vector>
 #include <algorithm>
@@ -496,7 +497,10 @@ static inline void range_min_last(const uint32_t *c, int64_t lo, int64_t hi,
 void estimate_costs(int32_t *lens, const int32_t *dists, int64_t n) {
   /* Scratch is retained per worker thread (bounded by the pool size) and
    * only the <= 7-entry literal tail is re-initialized per block: every
-   * other slot is written by the descending scan before any read. */
+   * other slot is written by the descending scan before any read.
+   * viol stores positions as int32 (kNoViol = INT32_MAX sentinel): blocks
+   * are capped far below 2^31 (LZ4 blocks are <= 8 MB), assert it. */
+  assert(n < INT32_MAX);
   constexpr int32_t kNoViol = INT32_MAX;
   thread_local std::vector<uint32_t> cost_store;
   thread_local std::vector<int32_t> viol_store;

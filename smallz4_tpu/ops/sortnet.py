@@ -214,7 +214,12 @@ def sort_records(*planes, n_keys: int = 1, unroll: bool | None = None,
 
     ``unique=True`` asserts the last key plane is distinct across records
     (it embeds the position) — the tiebreak compare is then skipped; the
-    comparison relation, and hence the sorted output, is identical.
+    comparison relation, and hence the sorted output, is identical.  The
+    distinctness requirement covers padding/sentinel records too: all-ones
+    sentinel keys duplicate each other, so padded inputs must either keep
+    the position embedded in the sentinels' last key plane or pass
+    ``unique=False`` (tie order among identical records is otherwise
+    network-dependent, and their payload planes shuffle with them).
 
     Record count must be a power of two >= 1024; callers pad with
     all-ones keys (sentinels sink to the top).  Returns the planes in the

@@ -25,6 +25,35 @@ import pytest
 REFERENCE_DIR = pathlib.Path("/root/reference")
 REFBIN_DIR = pathlib.Path("/tmp/refbin")
 
+# --- the `quick` tier: fast host-only tests for the edit loop -------------
+# Modules whose tests run without JAX compiles; individual tests measured
+# > ~3 s on the 2-vCPU CI host are excluded so `pytest -m quick` stays
+# under a minute while still covering format law, native codec parity,
+# CLI surface, robustness and the NumPy oracle.
+_QUICK_MODULES = {
+    "test_format", "test_native", "test_cli", "test_robustness",
+    "test_oracle", "test_host_parallel",
+}
+_QUICK_EXCLUDE = {
+    "test_checksummed_frames", "test_engine_flag_host_parallel",
+    "test_custom_block_sizes_roundtrip", "test_reference_decodes_ours",
+    "test_level_flag_and_bundling", "test_dictionary_cli",
+    "test_file_arguments", "test_profile_flag",
+    "test_ring_decoder_matches_reference", "test_ring_decoder_small_out_chunk",
+    "test_stdin_stdout_roundtrip", "test_multiblock_bit_exact_vs_reference",
+    "test_legacy_restrictions", "test_block_size_flag", "test_checksum_flag",
+    "test_verbose_progress_updates_per_block_buffered_engine",
+    "test_bit_exact_modern", "test_bit_exact_legacy",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (item.module.__name__ in _QUICK_MODULES
+                and item.originalname not in _QUICK_EXCLUDE
+                and "slow" not in item.keywords):
+            item.add_marker(pytest.mark.quick)
+
 
 def _build_reference() -> None:
     REFBIN_DIR.mkdir(parents=True, exist_ok=True)
