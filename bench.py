@@ -118,10 +118,10 @@ if on_tpu:
     import jax.numpy as jnp
     from smallz4_tpu.ops import chunkmatch as cm
     CH, G = cm.CHUNK, cm.GROUP
-    arr = np.zeros(G * CH + 16, dtype=np.uint8)
+    arr = np.zeros(G * CH + cm.LOOK, dtype=np.uint8)
     take = min(len(corpus), len(arr))
     arr[:take] = np.frombuffer(corpus[:take], np.uint8)
-    bufs = jnp.asarray(np.stack([arr[j*CH : j*CH + CH + 16] for j in range(G)]))
+    bufs = jnp.asarray(np.stack([arr[j*CH : j*CH + CH + cm.LOOK] for j in range(G)]))
     cand = jnp.full(G, CH, jnp.int32)
     lim = jnp.asarray([G*CH - j*CH - 5 for j in range(G)], jnp.int32)
     halo = cm.empty_halo()
@@ -137,66 +137,66 @@ if on_tpu:
     print(f"device-resident match rate: {report['device_match_mbps']} MB/s",
           file=sys.stderr, flush=True)
 if projected <= budget:
-    rep = RunReport(operation="encode", engine="tpu")
+    # headline: the DEFAULT mode (parity=True since round 4) — bit-exact
+    # -9 streams with certificate-gated host refine
+    rep_p = RunReport(operation="encode", engine="tpu")
     t0 = time.time()
-    frame = pipeline.compress(corpus, 9, report=rep, **kw)
+    frame = pipeline.compress(corpus, 9, report=rep_p, **kw)
     mbps = len(corpus) / (time.time() - t0) / 1e6
-    print(f"tpu fast stages: { {k: round(v, 2) for k, v in rep.stages.items()} }",
+    print(f"tpu parity stages: { {k: round(v, 2) for k, v in rep_p.stages.items()} }",
           file=sys.stderr, flush=True)
-    p = os.path.join(outdir, "fast.lz4"); open(p, "wb").write(frame)
-    report["entries"].append({"name": f"{tag}-{kern}-fast", "mbps": mbps, "path": p})
+    p = os.path.join(outdir, "parity.lz4"); open(p, "wb").write(frame)
+    report["entries"].append({"name": f"{tag}-{kern}-parity", "mbps": mbps, "path": p})
+    npos = rep_p.counters.get("n_positions", 0)
+    if npos:
+        # device certificate miss rate = parity-refine volume
+        report["unconv_pct"] = round(
+            100.0 * rep_p.counters.get("n_refine_positions", 0) / npos, 2)
+        print(f"parity refine volume: {report['unconv_pct']}% of "
+              f"{npos} device positions", file=sys.stderr, flush=True)
+    # diagnostic: raw device claims, no refine (never the headline; its
+    # size may exceed -9 and the parent excludes "-raw" from best-pick)
     t0 = time.time()
-    pipeline.compress(corpus[:warm_n], 9, parity=True, **kw)
-    if (time.time() - t0) * (len(corpus) / warm_n) <= budget:
-        rep_p = RunReport(operation="encode", engine="tpu")
+    frame = pipeline.compress(corpus, 9, parity=False, **kw)
+    mbps = len(corpus) / (time.time() - t0) / 1e6
+    p = os.path.join(outdir, "raw.lz4"); open(p, "wb").write(frame)
+    report["entries"].append({"name": f"{tag}-{kern}-raw", "mbps": mbps, "path": p})
+    if on_tpu:
+        # run-heavy adversarial corpus: giant byte runs + repeated
+        # near-identical fragments — the certificate's hostile regime
+        import numpy as _np
+        rng = _np.random.default_rng(3)
+        frag = bytearray(rng.integers(97, 105, 48, dtype=_np.uint8).tobytes())
+        parts, size = [], 0
+        runs = [65300, 131000, 262144]
+        while size < (8 << 20):
+            r = rng.random()
+            if r < 0.3:
+                parts.append(bytes([len(parts) & 0xFF]) * runs[len(parts) % 3])
+            elif r < 0.8:
+                burst = []
+                for _ in range(int(rng.integers(50, 300))):
+                    if rng.random() < 0.2:
+                        frag[int(rng.integers(0, 48))] ^= 1
+                    burst.append(bytes(frag))
+                parts.append(b"".join(burst))
+            else:
+                parts.append(rng.integers(0, 256, 30000, dtype=_np.uint8).tobytes())
+            size += len(parts[-1])
+        adv = b"".join(parts)[: 8 << 20]
+        rep_a = RunReport(operation="encode", engine="tpu")
+        os.environ["SMALLZ4_TPU_CPU_ASSIST"] = "0"  # pure device census
         t0 = time.time()
-        frame = pipeline.compress(corpus, 9, parity=True, report=rep_p, **kw)
-        mbps = len(corpus) / (time.time() - t0) / 1e6
-        p = os.path.join(outdir, "parity.lz4"); open(p, "wb").write(frame)
-        report["entries"].append({"name": f"{tag}-{kern}-parity", "mbps": mbps, "path": p})
-        npos = rep_p.counters.get("n_positions", 0)
-        if npos:
-            # device certificate miss rate = parity-refine volume
-            report["unconv_pct"] = round(
-                100.0 * rep_p.counters.get("n_refine_positions", 0) / npos, 2)
-            print(f"parity refine volume: {report['unconv_pct']}% of "
-                  f"{npos} device positions", file=sys.stderr, flush=True)
-        if on_tpu:
-            # run-heavy adversarial corpus: giant byte runs + repeated
-            # near-identical fragments — the certificate's hostile regime
-            import numpy as _np
-            rng = _np.random.default_rng(3)
-            frag = bytearray(rng.integers(97, 105, 48, dtype=_np.uint8).tobytes())
-            parts, size = [], 0
-            runs = [65300, 131000, 262144]
-            while size < (8 << 20):
-                r = rng.random()
-                if r < 0.3:
-                    parts.append(bytes([len(parts) & 0xFF]) * runs[len(parts) % 3])
-                elif r < 0.8:
-                    burst = []
-                    for _ in range(int(rng.integers(50, 300))):
-                        if rng.random() < 0.2:
-                            frag[int(rng.integers(0, 48))] ^= 1
-                        burst.append(bytes(frag))
-                    parts.append(b"".join(burst))
-                else:
-                    parts.append(rng.integers(0, 256, 30000, dtype=_np.uint8).tobytes())
-                size += len(parts[-1])
-            adv = b"".join(parts)[: 8 << 20]
-            rep_a = RunReport(operation="encode", engine="tpu")
-            os.environ["SMALLZ4_TPU_CPU_ASSIST"] = "0"  # pure device census
-            t0 = time.time()
-            pipeline.compress(adv, 9, parity=True, report=rep_a, **kw)
-            adv_dt = time.time() - t0
-            npos_a = rep_a.counters.get("n_positions", 0)
-            if npos_a:
-                report["unconv_adversarial_pct"] = round(
-                    100.0 * rep_a.counters.get("n_refine_positions", 0) / npos_a, 2)
-                print(f"adversarial refine volume: "
-                      f"{report['unconv_adversarial_pct']}% "
-                      f"({len(adv) / adv_dt / 1e6:.2f} MB/s parity)",
-                      file=sys.stderr, flush=True)
+        pipeline.compress(adv, 9, parity=True, report=rep_a, **kw)
+        adv_dt = time.time() - t0
+        npos_a = rep_a.counters.get("n_positions", 0)
+        if npos_a:
+            report["unconv_adversarial_pct"] = round(
+                100.0 * rep_a.counters.get("n_refine_positions", 0) / npos_a, 2)
+            print(f"adversarial refine volume: "
+                  f"{report['unconv_adversarial_pct']}% "
+                  f"({len(adv) / adv_dt / 1e6:.2f} MB/s parity)",
+                  file=sys.stderr, flush=True)
 print(json.dumps(report))
 """
 
@@ -277,12 +277,24 @@ def main() -> int:
     log(f"decode (host native): {dec_mbps:.0f} MB/s")
 
     best, best_tpu = None, None
+    raw_diag = {}
     for engine, mbps, size, frame in results:
         ok = native.decompress(frame) == corpus
-        # level-9-class bar: parity streams must match the reference size
-        # budget exactly; fast-mode device streams may trade <= 0.5 %
-        cap = 1.0005 if "fast" not in engine else 1.005
-        fits = ref_size is None or size <= ref_size * cap
+        if engine.endswith("-raw"):
+            # raw device claims: a diagnostic, never the headline (its
+            # size has no -9 guarantee; the product default is parity)
+            delta = (size / ref_size - 1) * 100 if ref_size else None
+            log(f"{engine}: {mbps:.2f} MB/s size={size} roundtrip={ok} "
+                f"[diagnostic]"
+                + (f" ({delta:+.3f}% vs ref)" if ref_size else ""))
+            if ok:
+                raw_diag = {"raw_mbps": round(mbps, 3),
+                            **({"raw_size_delta_pct": round(delta, 4)}
+                               if delta is not None else {})}
+            continue
+        # level-9-class bar: product streams must match the reference
+        # size budget (bit-exact at the default block size)
+        fits = ref_size is None or size <= ref_size * 1.0005
         log(f"{engine}: {mbps:.2f} MB/s size={size} roundtrip={ok} "
             f"size_ok={fits}"
             + (f" ({(size / ref_size - 1) * 100:+.3f}% vs ref)" if ref_size else ""))
@@ -298,7 +310,7 @@ def main() -> int:
     # the headline is the TPU engine whenever it ran on real hardware;
     # host-pool numbers stay visible above but don't mask the chip
     engine, mbps, size = best_tpu or best
-    extras = {}
+    extras = dict(raw_diag)
     if tpu_extras:
         extras.update({f"tpu_{k.removeprefix('tpu_')}": v
                        for k, v in tpu_extras.items() if v is not None})

@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     content_checksum = False    # --checksum (spec content checksum)
     max_candidates = 16     # tpu engine search cap (profiles override)
     kernel = None           # --kernel=chunk|sort|walk (tpu device kernel)
-    parity = False          # tpu engine exact -9 streams
+    parity = True           # tpu engine exact -9 streams (default)
     want_report = False     # --report: RunReport JSON on stderr
 
     # --profile applies first; explicit flags then override its fields
@@ -115,6 +115,8 @@ def main(argv: list[str] | None = None) -> int:
                 pass  # applied in the pre-scan above
             elif key == "parity" and not val:
                 parity = True
+            elif key == "fast" and not val:
+                parity = False  # raw device claims (ratio within noise)
             else:
                 error("unknown flag")
             pos += 1

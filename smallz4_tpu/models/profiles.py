@@ -21,7 +21,8 @@ class CodecProfile:
     block_size: int | None = None          # None: format default
     engine: str = "auto"                   # auto | native | tpu | oracle
     max_candidates: int = 16               # tpu turbo walk cap
-    parity: bool = False                   # exact -9 streams on tpu engine
+    parity: bool = True                    # exact -9 streams on tpu engine (default);
+                                           # False = raw device claims (diagnostic)
     threads: int | None = None             # host-parallel worker cap
 
     @property
@@ -42,7 +43,7 @@ PROFILES = {
     **{p.name: p for p in LEVELS.values()},
     "max": CodecProfile(name="max", level=9, engine="native"),
     "turbo": CodecProfile(name="turbo", level=9, engine="tpu",
-                          max_candidates=16),
+                          max_candidates=16, parity=False),
     "turbo-exact": CodecProfile(name="turbo-exact", level=9, engine="tpu",
                                 max_candidates=16, parity=True),
     "legacy": CodecProfile(name="legacy", level=9, legacy=True),

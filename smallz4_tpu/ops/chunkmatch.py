@@ -8,36 +8,52 @@ bitonic networks per 64 Ki positions, and 2^17 networks blow Mosaic's
 compile budget).  This module restructures the search around *chunks*:
 
   1. **sort once per chunk** — every 64 Ki-position chunk is sorted a
-     single time (unrolled 2^16 bitonic, ops/sortnet.py) by the key
-     (gram4, prefix-hash15, pos).
+     single time (unrolled 2^16 bitonic, ops/sortnet.py) into true
+     byte-lexicographic 12-byte suffix order: key = (bytes 0..3,
+     bytes 4..7, bytes 8..11, each packed big-endian, then pos).
   2. **merge, don't re-sort** — the 64 KB window means a chunk's
      candidates live in itself and its left neighbor; one bitonic merge
      (flip + 17 stages) of the two already-sorted record sets replaces a
      second full sort.
   3. **probe** sorted neighbors at static offsets (contiguous 1..8 plus a
-     sparse far set): equal-gram candidates are adjacent, byte-verified
-     to LCP 12 via two payload words, zero gathers.
+     sparse far set): in suffix order the highest-LCP candidates are the
+     nearest neighbors; each probe is byte-verified to LCP 20 via the
+     three key words plus two payload words, zero gathers.  Claim
+     lengths are clamped to the block match cap *before* the nearest-
+     distance tie-break (reference cap-then-tie semantics,
+     smallz4.h:178,229-232).
   4. **compact** the current chunk's records out of the merged array with
      an LSB-first binary-shift routing (monotone packing is conflict-free
      on a butterfly — validated exhaustively), then **unsort** them by
      position (2^16 bitonic).
   5. **chain** same-distance claims in position order (log-step doubling,
-     XLA shifts) — verified 12-byte claims extend into exact unbounded
+     XLA shifts) — verified 20-byte claims extend into exact unbounded
      match lengths; distance-1 byte runs resolve the same way.
 
-Record planes (4 x int32 per record):
-  k1    = gram4 (the exact 4-byte value, unsigned order)
-  combo = prefix-hash(15 bits) | invalid(1) | pos(17 bits... bits [16:0])
-          — key 2 and position in one plane; bit31 sinks non-candidates
-          to their gram group's tail
-  e1,e2 = bytes pos+4..11 (byte-verification payload)
+Record planes (6 x int32 per record):
+  k1, e1, e2 = bytes pos+0..11 packed big-endian (sort keys: byte 0 is
+               the most significant, so uint32 order == byte order)
+  combo      = invalid(bit31) | pos (bits [16:0]) — final sort key;
+               bit31 sinks non-candidates to their 12-byte group's tail
+  x1, x2     = bytes pos+12..19 big-endian (verification payload)
 
 Convergence certificate (bit-parity contract, reference nearest-first
-semantics): a position whose gram group fits inside the contiguous +-8
-probe window and whose LCP stayed below the 12-byte verification reach
-has provably seen every window candidate — its (len, nearest dist)
-equals the reference -9 search bit-for-bit.  Everything else is refined
-on the host in parity mode (native.match_refine).
+semantics) — the *edge-LCP rule*.  In suffix order the capped LCP
+clcp(a, b) = min(LCP(a, b), 12) is non-increasing as b moves away from
+a (the suffix-array min-property, valid for a 12-byte-truncated
+lexicographic sort).  Hence for a claim of length L at p:
+
+  * every unseen record beyond the contiguous +-8 window shares at most
+    clcp(p, edge) bytes with p, where edge is the window's outermost
+    record; if clcp(p, edge) < clip(L, 4, 12) on BOTH sides, no unseen
+    candidate can beat the claim or tie it at a nearer distance;
+  * claims with L < 20 are byte-verified exactly (key + payload words),
+    claims at the block cap are exact by the cap clamp;
+
+so a position passing the edge rule with L < 20 (or L == cap) has
+provably the reference's (max len, nearest max achiever) bit-for-bit.
+Everything else is refined on the host in parity mode
+(native.match_refine).
 """
 from __future__ import annotations
 
@@ -55,109 +71,165 @@ from .sortmatch import _ext_lcp, _flat_shift, _flat_shift_neg
 LANES = 128
 CHUNK = 1 << 16          # positions per chunk
 PAIR = CHUNK * 2         # merged record count
+LOOK = 20                # lookahead bytes per chunk buffer (key + payload)
 POS_BITS = 17
 POS_MASK = (1 << POS_BITS) - 1
 INVALID_BIT = jnp.int32(-0x80000000)  # bit31 of combo
 
 NEAR_PROBES = tuple(range(1, 9))
+EDGE = NEAR_PROBES[-1]   # contiguous-window edge (the certificate anchor)
 FAR_PROBES = (12, 16, 24, 32, 48, 64)
 PROBES = NEAR_PROBES + FAR_PROBES
-EXT_REACH = 12
+KEY_REACH = 12           # bytes covered by the lexicographic sort key
+EXT_REACH = 20           # byte-verified LCP reach (3 key + 2 payload words)
 CHAIN_STEPS = 16         # doubling covers runs/matches to 64 Ki
 
 
-def _mix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    h = a ^ (b * jnp.uint32(0x9E3779B1))
-    return h * jnp.uint32(0x85EBCA77)
+def pack_cut_gram(b4: bytes) -> int:
+    """Boundary-cut gram in the probe kernel's key encoding (big-endian
+    int32, matching make_records' k1 plane)."""
+    v = int.from_bytes(b4, "big")
+    return v - (1 << 32) if v >= 1 << 31 else v
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def make_records(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
-    """Record planes for one chunk.  ``buf`` is uint8[chunk + 16] (the 16
+    """Record planes for one chunk.  ``buf`` is uint8[chunk + LOOK] (the
     lookahead bytes are the next chunk's real prefix); positions with
-    local index outside [valid_lo, valid_hi) are marked non-candidates."""
+    local index outside [valid_lo, valid_hi) are marked non-candidates.
+
+    Words are packed big-endian so uint32 ascending order == byte
+    lexicographic order: the sort becomes a true 12-byte suffix order."""
     c = buf.astype(jnp.uint32)
-    g = c[:-3] | (c[1:-2] << 8) | (c[2:-1] << 16) | (c[3:] << 24)
+    g = (c[:-3] << 24) | (c[1:-2] << 16) | (c[2:-1] << 8) | c[3:]
     k1 = g[:chunk]
     e1 = g[4 : chunk + 4]
     e2 = g[8 : chunk + 8]
-    h8 = _mix(k1, e1)
-    h16 = _mix(h8, _mix(e2, g[12 : chunk + 12]))
-    k2_14 = (h16 >> 18).astype(jnp.int32)  # 14 bits: 31 is the invalid flag
+    x1 = g[12 : chunk + 12]
+    x2 = g[16 : chunk + 16]
     pos = jnp.arange(chunk, dtype=jnp.int32)
-    combo = (k2_14 << POS_BITS) | pos
     valid = (pos >= valid_lo) & (pos < valid_hi)
-    combo = jnp.where(valid, combo, combo | INVALID_BIT)
-    return k1, combo.view(jnp.uint32), e1, e2
+    combo = jnp.where(valid, pos, pos | INVALID_BIT)
+    return k1, e1, e2, combo.view(jnp.uint32), x1, x2
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def sort_chunk(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
-    """Sort one chunk's records by (gram4, prefix-hash, validity, pos)."""
-    k1, combo, e1, e2 = make_records(buf, valid_lo, valid_hi, chunk=chunk)
-    # combo embeds pos -> the (k1, combo) key is distinct per record:
+    """Sort one chunk's records into byte-lexicographic 12-byte suffix
+    order: (bytes 0..11, invalid flag, pos)."""
+    k1, e1, e2, combo, x1, x2 = make_records(buf, valid_lo, valid_hi,
+                                             chunk=chunk)
+    # combo embeds pos -> the 4-plane key is distinct per record:
     # unique=True skips the dead pos-tiebreak compare in every stage
-    return sortnet.sort_records(k1, combo, e1.view(jnp.int32),
-                                e2.view(jnp.int32), n_keys=2, unique=True)
+    return sortnet.sort_records(k1, e1, e2, combo,
+                                x1.view(jnp.int32), x2.view(jnp.int32),
+                                n_keys=4, unique=True)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def empty_halo(chunk: int = CHUNK):
     """All-invalid sorted halo planes (stream start / legacy block start:
     no history carries in)."""
-    return sort_chunk(jnp.zeros(chunk + 16, jnp.uint8),
+    return sort_chunk(jnp.zeros(chunk + LOOK, jnp.uint8),
                       jnp.int32(0), jnp.int32(0), chunk=chunk)
 
 
-def _probe_kernel(chunk, refs):
-    """Neighbor probes over merged sorted planes.
+def _lcp_be(xors) -> jnp.ndarray:
+    """Byte LCP (0..4*len(xors)) from XORed big-endian word pairs."""
+    def bc(x):  # leading equal bytes of one BE xor word
+        b0 = ((x >> 24) & 0xFF) != 0
+        b1 = ((x >> 16) & 0xFF) != 0
+        b2 = ((x >> 8) & 0xFF) != 0
+        return jnp.where(b0, 0, jnp.where(b1, 1, jnp.where(b2, 2,
+                         jnp.where(x != 0, 3, 4)))).astype(jnp.int32)
 
-    in:  cut (SMEM (1,2): cut_gram, cut_pos), k1, combo, e1, e2
-    out: payload (best_len<<16 | best_dist; len is 0 or 4..12),
+    lcp = bc(xors[0])
+    for i, x in enumerate(xors[1:], start=1):
+        lcp = jnp.where(lcp == 4 * i, 4 * i + bc(x), lcp)
+    return lcp
+
+
+def _probe_kernel(chunk, refs):
+    """Neighbor probes over merged suffix-ordered planes.
+
+    in:  scal (SMEM (1,3): cut_gram, cut_pos, match_limit),
+         k1, e1, e2, combo, x1, x2
+    out: payload (best_len<<16 | best_dist; len clamped to the block cap
+         BEFORE the nearest tie-break — reference cap-then-tie
+         semantics),
          key ((raw - chunk)<<3 | flags for current-chunk records, sunk to
-         the back otherwise; flags bit0 ext-capped, bit1 group extends
-         past the +-8 window) — two planes so the compact router and the
-         position unsort move half the data
+         the back otherwise; flags bit0 length-truncated (= EXT_REACH
+         with cap beyond it), bit1 edge-LCP certificate failed) — two
+         planes so the compact router and the position unsort move half
+         the data
     """
-    cut_ref, k1_ref, combo_ref, e1_ref, e2_ref, payload_ref, key_ref = refs
-    cut_gram, cut_pos = cut_ref[0, 0], cut_ref[0, 1]
-    k1, combo, e1, e2 = k1_ref[:], combo_ref[:], e1_ref[:], e2_ref[:]
+    (scal_ref, k1_ref, e1_ref, e2_ref, combo_ref, x1_ref, x2_ref,
+     payload_ref, key_ref) = refs
+    cut_gram, cut_pos = scal_ref[0, 0], scal_ref[0, 1]
+    match_limit = scal_ref[0, 2]
+    k1, e1, e2 = k1_ref[:], e1_ref[:], e2_ref[:]
+    combo, x1, x2 = combo_ref[:], x1_ref[:], x2_ref[:]
     rows = k1.shape[0]
     n = rows * LANES
     slot = sortnet._flat_iota(rows)
 
     raw = combo & POS_MASK
+    local = raw - chunk           # >= 0 for current-chunk records
+    # block match cap in claim space (halo records: unbounded — their
+    # claims are dropped by the compact anyway)
+    cap = jnp.where(local >= 0, jnp.maximum(match_limit - local, 0),
+                    jnp.int32(1 << 30))
+
     best_len = jnp.zeros_like(k1)
     best_dist = jnp.zeros_like(k1)
-    group_more = jnp.zeros_like(k1, dtype=jnp.bool_)
+    elcp_lo = jnp.full_like(k1, -1)   # capped LCP with the -EDGE record
+    elcp_hi = jnp.full_like(k1, -1)   # capped LCP with the +EDGE record
 
     for sk in PROBES:
         for sgn in (1, -1):
             k = sk * sgn
             in_range = (slot + k >= 0) & (slot + k < n)
             nb_k1 = _flat_shift(k1, k)
-            eq4 = in_range & (nb_k1 == k1)
-            if sk == 8:
-                group_more = group_more | eq4
-            nb_combo = _flat_shift(combo, k)
-            nb_raw = nb_combo & POS_MASK
-            d = raw - nb_raw
-            ok = (eq4 & (nb_combo >= 0) & (d >= 1) & (d <= fmt.MAX_DISTANCE)
-                  & ~((nb_k1 == cut_gram) & (nb_raw < cut_pos)))
             nb_e1 = _flat_shift(e1, k)
             nb_e2 = _flat_shift(e2, k)
-            lcp = jnp.where(ok, 4 + _ext_lcp(e1 ^ nb_e1, e2 ^ nb_e2), 0)
-            better = (lcp > best_len) | (
-                (lcp == best_len) & (lcp >= 4) & (d < best_dist))
-            best_len = jnp.where(better & ok, lcp, best_len)
+            nb_combo = _flat_shift(combo, k)
+            nb_x1 = _flat_shift(x1, k)
+            nb_x2 = _flat_shift(x2, k)
+            lcp = _lcp_be([k1 ^ nb_k1, e1 ^ nb_e1, e2 ^ nb_e2,
+                           x1 ^ nb_x1, x2 ^ nb_x2])
+            if sk == EDGE:
+                # certificate anchor: capped LCP with the contiguous
+                # window's outermost record, regardless of its validity
+                # (suffix-order monotonicity bounds everything beyond)
+                e12 = jnp.where(in_range, jnp.minimum(lcp, KEY_REACH),
+                                jnp.int32(-1))
+                if sgn > 0:
+                    elcp_hi = e12
+                else:
+                    elcp_lo = e12
+            nb_raw = nb_combo & POS_MASK
+            d = raw - nb_raw
+            ok = (in_range & (nb_combo >= 0) & (d >= 1)
+                  & (d <= fmt.MAX_DISTANCE)
+                  & ~((nb_k1 == cut_gram) & (nb_raw < cut_pos)))
+            lcp_eff = jnp.minimum(jnp.where(ok, lcp, 0), cap)
+            better = (lcp_eff > best_len) | (
+                (lcp_eff == best_len) & (lcp_eff >= 1) & (d < best_dist))
+            best_len = jnp.where(better & ok, lcp_eff, best_len)
             best_dist = jnp.where(better & ok, d, best_dist)
 
-    flags = (best_len >= EXT_REACH).astype(jnp.int32) \
-        | (group_more.astype(jnp.int32) << 1)
+    # edge-LCP certificate: an unseen record beyond the +-EDGE window
+    # shares at most clcp(p, edge) bytes (capped-LCP monotonicity of the
+    # suffix order); < clip(L, 4, 12) on both sides rules out any beater
+    # or equal-length-nearer candidate.  Claims are exact when also
+    # byte-verified (L < EXT_REACH) or clamped at the block cap.
+    th = jnp.clip(best_len, fmt.MIN_MATCH, KEY_REACH)
+    cert_fail = (elcp_lo >= th) | (elcp_hi >= th)
+    trunc = (best_len >= EXT_REACH) & (cap > EXT_REACH)
+    flags = trunc.astype(jnp.int32) | (cert_fail.astype(jnp.int32) << 1)
     payload_ref[:] = (best_len << 16) | best_dist
     # current-chunk records carry (local pos << 3) | flags; halo records
     # sink behind them (the compact keeps keys < 8*chunk)
-    local = raw - chunk
     key_ref[:] = jnp.where(local >= 0, (local << 3) | flags,
                            jnp.int32(8 * chunk))
 
@@ -353,7 +425,7 @@ GROUP = 64          # chunks per fused scan call (4 MB at CHUNK = 64 Ki):
 @functools.partial(jax.jit, static_argnames=("n_chunks", "head_cap", "chunk"))
 def match_chunks(
     halo,                  # sorted planes of the chunk preceding bufs[0]
-    bufs,                  # uint8[n_chunks, chunk + 16]
+    bufs,                  # uint8[n_chunks, chunk + LOOK]
     cand_hi,               # int32[n_chunks]: candidate validity end (local)
     valid_hi,              # int32[n_chunks]: claim validity end (local)
     match_limit,           # int32[n_chunks]: block match cap (local coords)
@@ -420,17 +492,20 @@ def probe_pair(
     (chunk i-1, chunk i) candidate set.  Returns (lens u16, dists u16,
     conv bool) of shape [CHUNK] in position order."""
     # rebase chunk i positions to [chunk, 2*chunk) and merge
-    cur_combo = (cur[1].view(jnp.int32) + chunk).view(jnp.uint32)
+    cur_combo = (cur[3].view(jnp.int32) + chunk).view(jnp.uint32)
     planes = [jnp.concatenate([h, c]) for h, c in
-              zip(halo, (cur[0], cur_combo, cur[2], cur[3]))]
-    m_k1, m_combo, m_e1, m_e2 = sortnet.merge_sorted(*planes, n_keys=2,
-                                                     unique=True)
+              zip(halo, (cur[0], cur[1], cur[2], cur_combo, cur[4],
+                         cur[5]))]
+    merged = sortnet.merge_sorted(*planes, n_keys=4, unique=True)
 
-    cut = jnp.stack([cut_gram, cut_pos]).reshape(1, 2).astype(jnp.int32)
+    scal = jnp.stack([
+        jnp.asarray(cut_gram, jnp.int32), jnp.asarray(cut_pos, jnp.int32),
+        jnp.asarray(match_limit, jnp.int32)]).reshape(1, 3)
     p_pay, p_key = _pallas_planes(
         functools.partial(_probe_kernel, chunk),
-        [m_k1.view(jnp.int32), m_combo.view(jnp.int32), m_e1, m_e2],
-        2, scalars=cut)
+        [m.view(jnp.int32) if m.dtype == jnp.uint32 else m
+         for m in merged],
+        2, scalars=scal)
 
     c_key, c_pay = _pallas_planes(
         functools.partial(_compact_kernel, chunk), [p_key, p_pay], 2)
@@ -443,7 +518,7 @@ def probe_pair(
     lens0 = (s_pay >> 16) & 0xFFFF
     dists0 = s_pay & 0xFFFF
 
-    # same-distance doubling: 12-byte claims extend to exact full lengths
+    # same-distance doubling: 20-byte claims extend to exact full lengths
     # (distance-1 byte runs resolve here too); claims stay byte-verified
     lens1 = lens0
     s = 1
@@ -463,8 +538,8 @@ def probe_pair(
     dists = jnp.where(match, dists0, 0)
 
     truncated = (flags0 & 1) != 0
-    group_more = (flags0 & 2) != 0
-    conv = (~truncated & ~group_more) | ~valid
+    cert_fail = (flags0 & 2) != 0
+    conv = (~truncated & ~cert_fail) | ~valid
     # a d=1 claim at the true block cap is complete and provably the
     # nearest achiever; farther at-cap claims stay unconverged (the
     # reference keeps the nearest among equally long matches)
@@ -478,9 +553,9 @@ def probe_pair(
     # achiever at p shifts into p+1's (L-1)-achiever set, so p+1's
     # nearest-achiever distance lower-bounds p's, which claim d attains.
     # Certifies whole match runs from their certified tails (the per-
-    # position reach/window rules only certify claims with LCP < 12 —
-    # without induction every position covered by a long match funnels
-    # to host refine, ~50-90% of match-dense corpora).  log-step suffix
+    # position reach/edge rules only certify claims with LCP < 20 or at
+    # the block cap — without induction every position covered by a very
+    # long match funnels to host refine on match-dense corpora).  log-step
     # propagation over the decay-chain relation.  Disabled when a
     # boundary chain cut is live in this chunk: the shift argument needs
     # candidate reachability to carry from p to p+1, which a cut on

@@ -35,7 +35,7 @@ def compress(
     dictionary=None,
     block_size: int | None = None,
     max_candidates: int = 64,
-    parity: bool = False,
+    parity: bool = True,
     report=None,
     kernel: str | None = None,
     progress=None,
@@ -206,7 +206,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         """Sorted halo planes for the block at ``start``, on ``dev``."""
         if legacy or (start == 0 and not d):
             return jax.device_put(cm.empty_halo(chunk=CH), dev)
-        hb = np.zeros(CH + 16, np.uint8)
+        hb = np.zeros(CH + cm.LOOK, np.uint8)
         if start == 0:  # dictionary tail, right-aligned (virtual prefix)
             lo_valid = CH - d
             hb[lo_valid:CH] = np.frombuffer(vdata[:d], np.uint8)
@@ -229,13 +229,13 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         entries = []
         for gi in range(n_groups):
             g0 = gi * G
-            bufs = np.zeros((G, CH + 16), np.uint8)
+            bufs = np.zeros((G, CH + cm.LOOK), np.uint8)
             cand = np.zeros(G, np.int32)
             vhi = np.zeros(G, np.int32)
             lim = np.zeros(G, np.int32)
             for j in range(G):
                 cs = start + (g0 + j) * CH
-                take = max(0, min(CH + 16, n - cs))
+                take = max(0, min(CH + cm.LOOK, n - cs))
                 if take:
                     bufs[j, :take] = arr[cs : cs + take]
                 real = max(0, min(CH, bs - (g0 + j) * CH))
@@ -243,10 +243,9 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 vhi[j] = real
                 lim[j] = bs - (g0 + j) * CH - fmt.BLOCK_END_LITERALS
             if gi == 0 and block_cut:
-                cg = int.from_bytes(
+                cg = cm.pack_cut_gram(
                     data[start - fmt.BLOCK_END_NO_MATCH :
-                         start - fmt.BLOCK_END_NO_MATCH + 4], "little")
-                cg = cg - (1 << 32) if cg >= 1 << 31 else cg
+                         start - fmt.BLOCK_END_NO_MATCH + 4])
                 cut_gram, cut_pos = jnp.int32(cg), jnp.int32(
                     CH - fmt.BLOCK_END_NO_MATCH)
             else:

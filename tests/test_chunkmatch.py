@@ -47,7 +47,7 @@ def _run_stream(data: bytes):
     """Drive n_chunks of C positions; returns lens/dists/conv [len(data)]."""
     n = len(data)
     assert n % C == 0
-    padded = np.zeros(n + 16, np.uint8)
+    padded = np.zeros(n + chunkmatch.LOOK, np.uint8)
     padded[:n] = np.frombuffer(data, np.uint8)
     lens = np.ones(n, np.int32)
     dists = np.zeros(n, np.int32)
@@ -55,7 +55,7 @@ def _run_stream(data: bytes):
     halo = chunkmatch.empty_halo(chunk=C)
     for ci in range(n // C):
         s = ci * C
-        buf = jnp.asarray(padded[s : s + C + 16])
+        buf = jnp.asarray(padded[s : s + C + chunkmatch.LOOK])
         hi = min(C, n - fmt.BLOCK_END_NO_MATCH + 1 - s)
         cur = chunkmatch.sort_chunk(buf, jnp.int32(0), jnp.int32(hi), chunk=C)
         l, d, cv = chunkmatch.probe_pair(
@@ -141,19 +141,17 @@ def test_chunk_boundary_cut():
     rng = np.random.default_rng(3)
     base = bytes(rng.integers(97, 105, C, dtype=np.uint8))
     data = base + base  # chunk 1 repeats chunk 0 at distance C
-    padded = np.zeros(2 * C + 16, np.uint8)
+    padded = np.zeros(2 * C + chunkmatch.LOOK, np.uint8)
     padded[: 2 * C] = np.frombuffer(data, np.uint8)
 
     halo = chunkmatch.sort_chunk(
-        jnp.asarray(padded[: C + 16]), jnp.int32(0), jnp.int32(C), chunk=C)
+        jnp.asarray(padded[: C + chunkmatch.LOOK]), jnp.int32(0), jnp.int32(C), chunk=C)
     cur = chunkmatch.sort_chunk(
-        jnp.asarray(padded[C : 2 * C + 16]), jnp.int32(0), jnp.int32(C),
+        jnp.asarray(padded[C : 2 * C + chunkmatch.LOOK]), jnp.int32(0), jnp.int32(C),
         chunk=C)
     cut_pos = C - fmt.BLOCK_END_NO_MATCH
-    g = padded[cut_pos : cut_pos + 4].astype(np.uint32)
-    cut_gram = int(g[0] | (g[1] << 8) | (g[2] << 16) | (g[3] << 24))
-    cut_gram = np.int32(np.uint32(cut_gram).astype(np.int64) - (1 << 32)
-                        if cut_gram >= 1 << 31 else cut_gram)
+    cut_gram = np.int32(chunkmatch.pack_cut_gram(
+        padded[cut_pos : cut_pos + 4].tobytes()))
     limit = jnp.int32(2 * C - fmt.BLOCK_END_LITERALS - C)
 
     l0, d0, _ = chunkmatch.probe_pair(
@@ -275,7 +273,8 @@ def test_pipeline_chunk_engine_fast_roundtrip(_tiny_chunks):
 
     bs = 2 * C
     data = _mixed_stream(4 * C + 700)
-    fast = pipeline.compress(data, 9, block_size=bs, kernel="chunk")
+    fast = pipeline.compress(data, 9, block_size=bs, kernel="chunk",
+                             parity=False)
     assert native.decompress(fast) == data
     want = native.compress(data, 9, block_size=bs)
     assert len(fast) <= int(len(want) * 1.10) + 64
@@ -292,7 +291,8 @@ def test_pipeline_chunk_engine_head_overflow(_tiny_chunks, monkeypatch):
     got = pipeline.compress(data, 9, block_size=2 * C, parity=True,
                             kernel="chunk")
     assert got == native.compress(data, 9, block_size=2 * C)
-    fast = pipeline.compress(data, 9, block_size=2 * C, kernel="chunk")
+    fast = pipeline.compress(data, 9, block_size=2 * C, kernel="chunk",
+                             parity=False)
     assert native.decompress(fast) == data
 
 
@@ -304,7 +304,8 @@ def test_pipeline_chunk_engine_cpu_assist(_tiny_chunks, monkeypatch):
 
     monkeypatch.setenv("SMALLZ4_TPU_CPU_ASSIST", "1")
     data = _mixed_stream(6 * C + 100, seed=17)
-    fast = pipeline.compress(data, 9, block_size=2 * C, kernel="chunk")
+    fast = pipeline.compress(data, 9, block_size=2 * C, kernel="chunk",
+                             parity=False)
     assert native.decompress(fast) == data
 
 
@@ -339,12 +340,12 @@ def test_match_chunks_scan_equals_stepwise():
     and the packed results invert to the stepwise claims."""
     data = _corpus(21, 4 * C)
     n = len(data)
-    padded = np.zeros(n + 16, np.uint8)
+    padded = np.zeros(n + chunkmatch.LOOK, np.uint8)
     padded[:n] = np.frombuffer(data, np.uint8)
     ref_lens, ref_dists, ref_conv = _run_stream(data)
 
     n_chunks = n // C
-    bufs = np.stack([padded[i * C : i * C + C + 16]
+    bufs = np.stack([padded[i * C : i * C + C + chunkmatch.LOOK]
                      for i in range(n_chunks)])
     cand_hi = np.full(n_chunks, C, np.int32)
     valid_hi = np.full(n_chunks, C, np.int32)
