@@ -136,6 +136,32 @@ if on_tpu:
     report["device_match_mbps"] = round(reps * G * CH / (time.time() - t0) / 1e6, 1)
     print(f"device-resident match rate: {report['device_match_mbps']} MB/s",
           file=sys.stderr, flush=True)
+    # device optimal-parse DP (ops/parse.py): chip-resident claims ->
+    # reference-exact parse via policy iteration.  Gather-bound by
+    # design (see the module docstring); measured so the device-resident
+    # encode bound (match+DP in series) is an honest recorded number.
+    from smallz4_tpu import native as _nat
+    from smallz4_tpu.ops import parse as dparse
+    nb = 1 << 20
+    lens_h, dists_h = _nat.match_block(
+        np.frombuffer(corpus[:nb], np.uint8), base=0, bs=nb, level=9)
+    lens_h[nb - 11:] = 1
+    dists_h[nb - 11:] = 0
+    ld, dd = jnp.asarray(lens_h), jnp.asarray(dists_h)
+    choice, _cost, okf = dparse.estimate_costs_device(ld, dd, nb)
+    _jax.block_until_ready(choice)  # compile+warm
+    t0 = time.time(); reps_dp = 2
+    for _ in range(reps_dp):
+        choice, _cost, okf = dparse.estimate_costs_device(ld, dd, nb)
+    _jax.block_until_ready(choice)
+    report["device_dp_mbps"] = round(reps_dp * nb / (time.time() - t0) / 1e6, 2)
+    want = lens_h.copy(); _nat.estimate_costs(want, dists_h)
+    dp_exact = bool((np.asarray(choice) == want).all()) and bool(okf)
+    mr, dr = report["device_match_mbps"], report["device_dp_mbps"]
+    report["device_match_dp_mbps"] = round(1.0 / (1.0 / mr + 1.0 / dr), 2)
+    print(f"device-resident DP rate: {report['device_dp_mbps']} MB/s "
+          f"(exact={dp_exact}); match+DP in series: "
+          f"{report['device_match_dp_mbps']} MB/s", file=sys.stderr, flush=True)
 if projected <= budget:
     # headline: the DEFAULT mode (parity=True since round 4) — bit-exact
     # -9 streams with certificate-gated host refine
@@ -234,6 +260,8 @@ def _tpu_phase_subprocess(corpus: bytes):
             log("tpu phase produced no report")
             return out, probe
         probe = {k: report.get(k) for k in ("probe_mbps", "device_match_mbps",
+                                            "device_dp_mbps",
+                                            "device_match_dp_mbps",
                                             "unconv_pct",
                                             "unconv_adversarial_pct")}
         for item in report["entries"]:
