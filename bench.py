@@ -180,6 +180,22 @@ if projected <= budget:
             100.0 * rep_p.counters.get("n_refine_positions", 0) / npos, 2)
         print(f"parity refine volume: {report['unconv_pct']}% of "
               f"{npos} device positions", file=sys.stderr, flush=True)
+    if on_tpu:
+        # speed-of-light accounting: per-stage achieved vs ceiling and
+        # the projected e2e on a production PCIe host
+        from smallz4_tpu.utils import sol as _sol
+        s = _sol.report(bytes_in=rep_p.bytes_in, stages=rep_p.stages,
+                        counters=rep_p.counters,
+                        device_match_mbps=report.get("device_match_mbps"),
+                        unconv_pct=report.get("unconv_pct"))
+        report["sol"] = s
+        print(f"speed-of-light: match {s['device_match']}  "
+              f"link {s['link']}", file=sys.stderr, flush=True)
+        if "projected_pcie_e2e_mbps" in s:
+            report["projected_pcie_e2e_mbps"] = s["projected_pcie_e2e_mbps"]
+            print(f"projected PCIe-host e2e: {s['projected_pcie_e2e_mbps']} "
+                  f"MB/s (bottleneck: {s['projected_bottleneck']})",
+                  file=sys.stderr, flush=True)
     # diagnostic: raw device claims, no refine (never the headline; its
     # size may exceed -9 and the parent excludes "-raw" from best-pick)
     t0 = time.time()
@@ -263,7 +279,8 @@ def _tpu_phase_subprocess(corpus: bytes):
                                             "device_dp_mbps",
                                             "device_match_dp_mbps",
                                             "unconv_pct",
-                                            "unconv_adversarial_pct")}
+                                            "unconv_adversarial_pct",
+                                            "projected_pcie_e2e_mbps")}
         for item in report["entries"]:
             frame = pathlib.Path(item["path"]).read_bytes()
             out.append((item["name"], item["mbps"], len(frame), frame))

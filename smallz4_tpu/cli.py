@@ -211,6 +211,20 @@ def main(argv: list[str] | None = None) -> int:
             report.bytes_in = progress.bytes_in
             report.bytes_out = progress.bytes_out
         print(report.to_json(), file=sys.stderr)
+        if engine == "tpu" and report.counters:
+            # speed-of-light accounting (BASELINE.md reporting row):
+            # per-stage achieved vs hardware ceiling + PCIe projection
+            import json as _json
+
+            from .utils import sol
+
+            print(_json.dumps({"speed_of_light": sol.report(
+                bytes_in=report.bytes_in, stages=report.stages,
+                counters=report.counters,
+                unconv_pct=(100.0 * report.counters.get("n_refine_positions", 0)
+                            / report.counters["n_positions"]
+                            if report.counters.get("n_positions") else None),
+            )}), file=sys.stderr)
     return 0
 
 

@@ -213,7 +213,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         else:           # preceding 64 KiB of the stream
             lo_valid = 0
             hb[:CH] = arr[start - CH : start]
-        take = min(16, n - start)
+        take = min(cm.LOOK, n - start)
         if take > 0:
             hb[CH : CH + take] = arr[start : start + take]
         return cm.sort_chunk(jax.device_put(hb, dev), jnp.int32(lo_valid),
@@ -254,6 +254,8 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 halo, jax.device_put(bufs, dev), jax.device_put(cand, dev),
                 jax.device_put(vhi, dev), jax.device_put(lim, dev),
                 cut_gram, cut_pos, n_chunks=G, head_cap=CAP, chunk=CH)
+            stages["n_h2d_bytes"] = stages.get("n_h2d_bytes", 0) + (
+                bufs.nbytes + cand.nbytes + vhi.nbytes + lim.nbytes)
             bits, packed, counts, cbits = ys
             # start the host copies now: the packed prefix covers the
             # common case, so by drain time only rare head-heavy chunks
@@ -281,8 +283,12 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 pk = np.asarray(pk_head)  # already in flight since dispatch
             else:
                 pk = np.asarray(packed[:, : min(maxp, CAP)])
-            fetched.append((g0, np.asarray(bits), pk, counts_np,
-                            np.asarray(cbits) if parity else None))
+            bits_np = np.asarray(bits)
+            cbits_np = np.asarray(cbits) if parity else None
+            stages["n_d2h_bytes"] = stages.get("n_d2h_bytes", 0) + (
+                bits_np.nbytes + pk.nbytes + counts_np.nbytes
+                + (cbits_np.nbytes if cbits_np is not None else 0))
+            fetched.append((g0, bits_np, pk, counts_np, cbits_np))
         return fetched
 
     def unpack_block(start, end, fetched):

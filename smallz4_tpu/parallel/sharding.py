@@ -279,7 +279,7 @@ def compress_sharded_chunks(
     halo0 = np.zeros(CH + cm.LOOK, np.uint8)
     if d:
         halo0[CH - d : CH] = np.frombuffer(dict_tail, np.uint8)
-        halo0[CH : CH + min(16, n)] = arr[: min(16, n)]
+        halo0[CH : CH + min(cm.LOOK, n)] = arr[: min(cm.LOOK, n)]
         halo0_lo = CH - d
     else:
         halo0_lo = CH  # empty halo (stream start)

@@ -1,0 +1,134 @@
+"""Speed-of-light accounting (BASELINE.md reporting north star).
+
+Compares what each pipeline stage achieves against what the hardware
+could do for the work the stage performs, and projects the e2e rate on a
+production PCIe-attached host (the dev environment reaches the chip over
+a ~25 MB/s tunnel that prices every byte AND every round trip — kernel
+improvements stop moving e2e long before the chip is the limit).
+
+Ceilings and their provenance (v5e, one chip):
+
+* ``PLANE_TOUCH_PER_S`` — the chunk engine is bitonic sort/merge/probe
+  over int32 planes: dense rolls + compare-selects.  The measured
+  production sort (ops/sortnet.py, exp/probe_tpu3.py: 255 M rec/s for a
+  2^16 sort of 4 planes = 136 stages) moves 255e6*136*4 ~ 1.4e11
+  plane-element stage-touches/s.  That constant is the empirical VPU
+  ceiling for this op mix (the chip's raw int32 ALU rate is higher; the
+  constant absorbs roll latency and layout overheads).
+* ``GATHER_PER_S`` — measured per-lane random gather rate
+  (exp/probe_tpu*.py): the ceiling for the pointer-doubling device DP.
+* ``HOST_DP_BPS`` / ``HOST_REFINE_BPS`` — measured native runtime rates
+  on this host class (docs/PERF.md).
+* ``PCIE_BPS`` — nominal PCIe Gen3 x16 host link of a production TPU
+  host; ``TUNNEL_BPS`` — the measured dev-tunnel rate.
+
+The fraction-of-SoL numbers are engineering estimates against a stated
+cost model, not vendor specs — the model (touches per byte) is printed
+alongside so the arithmetic is checkable.
+"""
+from __future__ import annotations
+
+PLANE_TOUCH_PER_S = 1.4e11   # measured: 255 M rec/s x 136 stages x 4 planes
+GATHER_PER_S = 0.13e9        # measured per-lane random gather
+HOST_DP_BPS = 166e6          # native estimate_costs, per core (PERF.md)
+HOST_REFINE_BPS = 5e6        # native match_refine on -9-dense spans
+PCIE_BPS = 16e9              # production host link (PCIe Gen3 x16)
+TUNNEL_BPS = 25e6            # measured dev-tunnel rate
+
+
+def chunk_engine_touches_per_byte(planes: int = 6, chunk_log2: int = 16,
+                                  probes: int = 28) -> float:
+    """Plane-element stage-touches per input byte for the chunk engine
+    (sort + merge + probe + compact + unsort + chain + pack)."""
+    sort_stages = chunk_log2 * (chunk_log2 + 1) // 2   # 136 at 2^16
+    merge_stages = chunk_log2 + 1
+    t_sort = sort_stages * planes                       # sort own chunk
+    t_merge = merge_stages * planes * 2                 # merged 2x records
+    t_probe = probes * planes * 2                       # shifted reads, 2x
+    t_compact = (chunk_log2 + 1) * 2 * 2                # 2 planes, 2x
+    t_unsort = sort_stages * 2                          # 2-plane pos sort
+    t_chain = 16 * 2                                    # doubling steps
+    t_pack = (chunk_log2 + 1) * 2
+    return float(t_sort + t_merge + t_probe + t_compact + t_unsort
+                 + t_chain + t_pack)
+
+
+def device_match_ceiling_bps(planes: int = 6) -> float:
+    return PLANE_TOUCH_PER_S / chunk_engine_touches_per_byte(planes)
+
+
+def device_dp_ceiling_bps(iters: float = 10.0, n_log2: int = 20) -> float:
+    """Policy iteration is gather-bound: ~2 gathers per doubling round
+    (log2 n rounds) plus ~5 per improvement, per position per round."""
+    gathers_per_byte = iters * (2 * n_log2 + 5)
+    return GATHER_PER_S / gathers_per_byte
+
+
+def report(*, bytes_in: int, stages: dict, counters: dict,
+           device_match_mbps: float | None = None,
+           unconv_pct: float | None = None,
+           link_bps: float = TUNNEL_BPS) -> dict:
+    """Per-stage achieved-vs-ceiling fractions + projected PCIe e2e.
+
+    ``stages``/``counters`` come from a RunReport of the chunk engine.
+    Returns a JSON-friendly dict; fractions are None when a stage was
+    not measured.
+    """
+    out: dict = {"model": {
+        "plane_touch_per_s": PLANE_TOUCH_PER_S,
+        "touches_per_byte": chunk_engine_touches_per_byte(),
+        "link_bps_assumed": link_bps,
+    }}
+
+    # device match kernel
+    ceil_match = device_match_ceiling_bps()
+    out["device_match"] = {
+        "ceiling_mbps": round(ceil_match / 1e6, 1),
+        "achieved_mbps": device_match_mbps,
+        "fraction": (round(device_match_mbps * 1e6 / ceil_match, 3)
+                     if device_match_mbps else None),
+    }
+
+    # host link: measured transferred bytes per input byte
+    d2h = counters.get("n_d2h_bytes", 0)
+    h2d = counters.get("n_h2d_bytes", 0)
+    sync_s = stages.get("device_sync", 0.0) + stages.get("device_dispatch", 0.0)
+    link_achieved = (d2h + h2d) / sync_s if sync_s > 0 else None
+    out["link"] = {
+        "d2h_bytes_per_byte": round(d2h / bytes_in, 4) if bytes_in else None,
+        "h2d_bytes_per_byte": round(h2d / bytes_in, 4) if bytes_in else None,
+        "achieved_Bps": round(link_achieved) if link_achieved else None,
+        "ceiling_Bps": link_bps,
+        "fraction": (round(link_achieved / link_bps, 3)
+                     if link_achieved else None),
+    }
+
+    # host refine + DP + emit
+    host_s = stages.get("host_refine_dp_emit", 0.0)
+    if host_s > 0 and bytes_in:
+        achieved = bytes_in / host_s
+        # ceiling: DP+emit at full rate plus refine on the miss fraction
+        miss = (unconv_pct or 0.0) / 100.0
+        ceil = 1.0 / (1.0 / HOST_DP_BPS + miss / HOST_REFINE_BPS)
+        out["host_tail"] = {
+            "achieved_mbps": round(achieved / 1e6, 2),
+            "ceiling_mbps": round(ceil / 1e6, 2),
+            "fraction": round(achieved / ceil, 3),
+            "refine_miss_pct": unconv_pct,
+        }
+
+    # projected e2e on a PCIe host: device match in series with the
+    # PCIe transfer volume; the host tail overlaps (worker pool), so the
+    # projection is the max of (device+link series, host tail)
+    if device_match_mbps and bytes_in:
+        per_byte_xfer = (d2h + h2d) / bytes_in if bytes_in else 1.0
+        dev_s_per_b = 1.0 / (device_match_mbps * 1e6)
+        pcie_s_per_b = per_byte_xfer / PCIE_BPS
+        miss = (unconv_pct or 0.0) / 100.0
+        host_s_per_b = 1.0 / HOST_DP_BPS + miss / HOST_REFINE_BPS
+        e2e = 1.0 / max(dev_s_per_b + pcie_s_per_b, host_s_per_b)
+        out["projected_pcie_e2e_mbps"] = round(e2e / 1e6, 1)
+        out["projected_bottleneck"] = (
+            "device" if dev_s_per_b + pcie_s_per_b >= host_s_per_b
+            else "host_tail")
+    return out
