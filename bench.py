@@ -29,6 +29,41 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def corpus_and_name(n: int = CORPUS_BYTES):
+    """The headline corpus: the REAL Silesia corpus when vendored at
+    benchdata/silesia (see scripts/fetch_silesia.py — the build
+    environment has no network egress, so it cannot be fetched here),
+    else the deterministic Silesia-like mix (cross-round continuity)."""
+    sil = pathlib.Path(__file__).resolve().parent / "benchdata" / "silesia"
+    files = sorted(p for p in sil.iterdir()) if sil.is_dir() else []
+    if files:
+        buf = bytearray()
+        for f in files:
+            buf += f.read_bytes()
+            if len(buf) >= n:
+                return bytes(buf[:n]), "silesia"
+    return make_corpus(n), "silesia_like"
+
+
+def real_file_corpus(n: int = CORPUS_BYTES) -> bytes | None:
+    """Machine-local real data: /usr/include contents in sorted order
+    (the corpus class BASELINE.md measured; the live-built reference is
+    timed on the same bytes, so machine-dependence cancels)."""
+    root = pathlib.Path("/usr/include")
+    if not root.is_dir():
+        return None
+    buf = bytearray()
+    for p in sorted(root.rglob("*")):
+        if p.is_file() and not p.is_symlink():
+            try:
+                buf += p.read_bytes()
+            except OSError:
+                continue
+            if len(buf) >= n:
+                return bytes(buf[:n])
+    return bytes(buf) if len(buf) >= n // 2 else None
+
+
 def make_corpus(n: int = CORPUS_BYTES) -> bytes:
     """Deterministic Silesia-like mix: text-heavy with structured and
     binary regions (seeded; identical on every machine)."""
@@ -288,9 +323,9 @@ def _tpu_phase_subprocess(corpus: bytes):
 
 
 def main() -> int:
-    corpus = make_corpus()
+    corpus, corpus_name = corpus_and_name()
     ref_size, ref_mbps = reference_numbers(corpus)
-    log(f"reference: size={ref_size} encode={ref_mbps:.2f} MB/s")
+    log(f"reference ({corpus_name}): size={ref_size} encode={ref_mbps:.2f} MB/s")
 
     from smallz4_tpu import native
     from smallz4_tpu.parallel import host
@@ -309,6 +344,35 @@ def main() -> int:
     # never hang the benchmark itself.
     tpu_entries, tpu_extras = _tpu_phase_subprocess(corpus)
     results.extend(tpu_entries)
+
+    # 3. real-file corpus (machine-local /usr/include bytes): reference
+    # timed live on the same data, host-parallel exact -9 compared —
+    # keeps a real-data number alongside the deterministic mix
+    real_extras = {}
+    real = real_file_corpus()
+    if real is not None and pathlib.Path("/tmp/refbin/smallz4").exists():
+        t0 = time.time()
+        res = subprocess.run(["/tmp/refbin/smallz4", "-9"], input=real,
+                             capture_output=True)
+        ref_dt = time.time() - t0
+        if res.returncode == 0:
+            rsize = len(res.stdout)
+            t0 = time.time()
+            rframe = host.compress(real, 9)
+            rmbps = len(real) / (time.time() - t0) / 1e6
+            ok_r = native.decompress(rframe) == real
+            log(f"real-file corpus ({len(real)>>20} MB /usr/include): "
+                f"host-parallel {rmbps:.2f} MB/s vs ref "
+                f"{len(real)/ref_dt/1e6:.2f} MB/s; size {len(rframe)} vs "
+                f"{rsize} ({(len(rframe)/rsize-1)*100:+.3f}%) "
+                f"roundtrip={ok_r}")
+            if ok_r:
+                real_extras = {
+                    "real_corpus_mbps": round(rmbps, 2),
+                    "real_corpus_vs_ref": round(rmbps * ref_dt / len(real) * 1e6, 2),
+                    "real_corpus_size_delta_pct":
+                        round((len(rframe) / rsize - 1) * 100, 4),
+                }
 
     # decode throughput (secondary metrics; reference smallz4cat ~830 MB/s)
     ref_frame = None
@@ -363,8 +427,9 @@ def main() -> int:
         extras["note"] = "no tpu entry passed; headline is host fallback"
     if ref_size:
         extras["size_delta_pct"] = round((size / ref_size - 1) * 100, 4)
+    extras.update(real_extras)
     print(json.dumps({
-        "metric": f"silesia_like_10MB_encode_level9_{engine}",
+        "metric": f"{corpus_name}_10MB_encode_level9_{engine}",
         "value": round(mbps, 3),
         "unit": "MB/s",
         "vs_baseline": round(mbps / ref_mbps, 2),
