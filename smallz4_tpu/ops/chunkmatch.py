@@ -470,6 +470,36 @@ def match_chunks(
         step, halo, (bufs, cand_hi, valid_hi, match_limit, cgs, cps))
 
 
+@functools.partial(jax.jit, static_argnames=("n_chunks", "chunk"))
+def match_chunks_raw(
+    halo, bufs, cand_hi, valid_hi, match_limit, cut_gram, cut_pos,
+    n_chunks: int = GROUP, chunk: int = CHUNK,
+):
+    """match_chunks without the head/delta pack: returns the raw claim
+    planes (lens u16, dists u16, conv bool) per chunk, kept ON DEVICE —
+    the front half of the device-resident encode (match -> ops.parse DP
+    -> ops.emit), where claims feed the device DP instead of crossing
+    the host link."""
+    cut_gram = jnp.asarray(cut_gram, jnp.int32)
+    cut_pos = jnp.asarray(cut_pos, jnp.int32)
+    if cut_gram.ndim == 1:
+        cgs, cps = cut_gram, cut_pos
+    else:
+        idx = jnp.arange(n_chunks, dtype=jnp.int32)
+        cgs = jnp.where(idx == 0, cut_gram, 0)
+        cps = jnp.where(idx == 0, cut_pos, -1)
+
+    def step(carry, xs):
+        buf, ch, vh, ml, cg, cp = xs
+        cur = sort_chunk(buf, jnp.int32(0), ch, chunk=chunk)
+        lens, dists, conv = probe_pair(
+            carry, cur, cg, cp, jnp.int32(0), vh, ml, chunk=chunk)
+        return cur, (lens, dists, conv)
+
+    return jax.lax.scan(
+        step, halo, (bufs, cand_hi, valid_hi, match_limit, cgs, cps))
+
+
 def _shift_up(x: jnp.ndarray, s: int, fill):
     """out[i] = x[i + s] (XLA slice + pad — position-order chain step)."""
     if s >= x.shape[0]:

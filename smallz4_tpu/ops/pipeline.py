@@ -558,6 +558,153 @@ def _process_block_window(out, data, vdata, d, blocks, legacy,
         _time.perf_counter() - t0)
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _device_resident_step_fn():
+    """Build (once) the jitted device-resident block step:
+    match (chunk scan, raw claims) -> DP (policy iteration) -> emit."""
+    import jax
+
+    from . import chunkmatch as cm
+    from . import emit as dev_emit
+    from . import parse as dev_parse
+
+    @_functools.partial(jax.jit, static_argnames=("n_chunks", "bs"))
+    def step(halo, bufs, cand, vhi, lim, cut_gram, cut_pos, blk,
+             n_chunks, bs):
+        CH = cm.CHUNK
+        halo2, (lens_u, dists_u, _conv) = cm.match_chunks_raw(
+            halo, bufs, cand, vhi, lim, cut_gram, cut_pos,
+            n_chunks=n_chunks, chunk=CH)
+        lens = lens_u.reshape(-1)[:bs].astype(jnp.int32)
+        dists = dists_u.reshape(-1)[:bs].astype(jnp.int32)
+        pos = jnp.arange(bs, dtype=jnp.int32)
+        tail = pos >= bs - (fmt.BLOCK_END_NO_MATCH - 1)
+        lens = jnp.where(tail, 1, lens)
+        dists = jnp.where(tail, 0, dists)
+        choice, _cost, ok = dev_parse.estimate_costs_device(lens, dists, bs)
+        payload, n_out = dev_emit.emit_block_device(
+            blk, choice, jnp.where(choice > 1, dists, 0))
+        return halo2, payload, n_out, ok
+
+    return step
+
+
+def _device_resident_block_step(halo, bufs, cand, vhi, lim, cg, cp, blk,
+                                n_chunks, bs):
+    return _device_resident_step_fn()(halo, bufs, cand, vhi, lim, cg, cp,
+                                      blk, n_chunks=n_chunks, bs=bs)
+
+
+def compress_device_resident(data, block_size: int | None = None,
+                             report=None) -> bytes:
+    """Fully device-resident -9-class encode: match (chunk engine) ->
+    optimal parse (ops.parse policy iteration) -> sequence emit
+    (ops.emit), all on device — only the compressed bytes cross the
+    host link (~0.2-0.5 d2h bytes per input byte at -9 ratios, vs
+    ~1.5-2.0 for shipping claims).  SURVEY.md §7 steps 5-6 complete.
+
+    Raw-claims semantics: device claims saturate at 65535 and skip the
+    host refine, so streams are valid, decode-verified and -9-class,
+    not bit-parity (use the default hybrid engine for bit-exact
+    streams).  Modern frames, no dictionary.  Throughput is bound by
+    the gather-limited device DP (see ops/parse.py) — this mode exists
+    for link-constrained deployments and completeness, and its rate is
+    reported honestly in bench."""
+    import time as _time
+
+    import jax
+
+    from . import chunkmatch as cm
+    from . import emit as dev_emit
+    from . import parse as dev_parse
+
+    t_run = _time.perf_counter()
+    data = bytes(data)
+    CH = cm.CHUNK
+    if block_size is None:
+        block_size = min(fmt.MAX_BLOCK_SIZE, 16 * CH)
+    if block_size % CH != 0:
+        raise ValueError(f"device-resident path needs block_size % {CH} == 0")
+    n = len(data)
+    arr = np.frombuffer(data, np.uint8)
+    out = bytearray(fmt.build_frame_header(False))
+    stages: dict = {}
+    blocks = _blocks(n, block_size)
+
+    halo = None
+    for bi, (start, end) in enumerate(blocks):
+        bs = end - start
+        n_chunks = -(-bs // CH)
+        t0 = _time.perf_counter()
+        if halo is None:
+            if start == 0:
+                halo = cm.empty_halo(chunk=CH)
+            else:
+                hb = np.zeros(CH + cm.LOOK, np.uint8)
+                hb[:CH] = arr[start - CH : start]
+                take = min(cm.LOOK, n - start)
+                hb[CH : CH + take] = arr[start : start + take]
+                halo = cm.sort_chunk(jnp.asarray(hb), jnp.int32(0),
+                                     jnp.int32(CH), chunk=CH)
+        bufs = np.zeros((n_chunks, CH + cm.LOOK), np.uint8)
+        cand = np.zeros(n_chunks, np.int32)
+        lim = np.zeros(n_chunks, np.int32)
+        for j in range(n_chunks):
+            cs = start + j * CH
+            take = max(0, min(CH + cm.LOOK, n - cs))
+            bufs[j, :take] = arr[cs : cs + take]
+            cand[j] = max(0, min(CH, bs - j * CH))
+            lim[j] = bs - j * CH - fmt.BLOCK_END_LITERALS
+        block_cut = start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+        if block_cut:
+            cg = jnp.int32(cm.pack_cut_gram(
+                data[start - fmt.BLOCK_END_NO_MATCH :
+                     start - fmt.BLOCK_END_NO_MATCH + 4]))
+            cp = jnp.int32(CH - fmt.BLOCK_END_NO_MATCH)
+        else:
+            cg, cp = jnp.int32(0), jnp.int32(-1)
+        blk = jnp.asarray(arr[start:end])
+        stages["n_h2d_bytes"] = stages.get("n_h2d_bytes", 0) + (
+            bufs.nbytes + bs)
+        halo, payload, n_out, ok = _device_resident_block_step(
+            halo, jnp.asarray(bufs), jnp.asarray(cand), jnp.asarray(cand),
+            jnp.asarray(lim), cg, cp, blk, n_chunks=n_chunks, bs=bs)
+        stages["device_total"] = stages.get("device_total", 0.0) + (
+            _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        m = int(n_out)
+        if not bool(ok):  # DP round cap hit: host DP on the raw claims
+            raise RuntimeError("device DP did not converge")
+        if m < bs:
+            pay = np.asarray(payload[:m]).tobytes()
+            stages["n_d2h_bytes"] = stages.get("n_d2h_bytes", 0) + m + 8
+            out += fmt.build_block_header(m, False, False)
+            out += pay
+        else:  # stored-block fallback (smallz4.h:765-775)
+            stages["n_d2h_bytes"] = stages.get("n_d2h_bytes", 0) + 8
+            out += fmt.build_block_header(bs, True, False)
+            out += data[start:end]
+        stages["fetch_assemble"] = stages.get("fetch_assemble", 0.0) + (
+            _time.perf_counter() - t0)
+    out += fmt.build_end_mark(False)
+    if report is not None:
+        report.operation = "encode"
+        report.engine = "tpu-device-resident"
+        report.bytes_in = n
+        report.bytes_out = len(out)
+        report.blocks = len(blocks)
+        report.wall_s = _time.perf_counter() - t_run
+        for k, v in stages.items():
+            if k.startswith("n_"):
+                report.counters[k] = report.counters.get(k, 0) + v
+            else:
+                report.stages[k] = report.stages.get(k, 0.0) + v
+    return bytes(out)
+
+
 def decompress(data, dictionary=None) -> bytes:
     """Decode a frame with the device expansion kernel.
 
