@@ -47,6 +47,18 @@ Compression levels:
  -1 ... -{fmt.SHORT_CHAINS_GREEDY}        Greedy search, check 1 to {fmt.SHORT_CHAINS_GREEDY} matches
  -{fmt.SHORT_CHAINS_GREEDY + 1} ... -8        Lazy matching with optimal parsing, check {fmt.SHORT_CHAINS_GREEDY + 1} to 8 matches
  -9               Optimal parsing, check all possible matches (default)
+
+Framework extensions (beyond the reference CLI):
+  --engine=E      auto | native | tpu | host | oracle
+  --kernel=K      tpu device search kernel: chunk | sort | walk
+  --fast          tpu engine: keep raw device claims (skip the exact
+                  host refine; output stays valid, size near -9)
+  --parity        tpu engine: bit-exact -9 streams (the default)
+  --threads=N     host-parallel worker cap
+  --block-size=N  frame block size in bytes
+  --checksum      add content checksum (native engine, modern format)
+  --profile=NAME  named codec profile (see models/profiles.py)
+  --report        print a structured run report (JSON) on stderr
 """,
         file=out,
     )
