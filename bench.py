@@ -216,14 +216,14 @@ if projected <= budget:
             mbps, rep_p, frame = mbps_i, rep_i, frame_i
     p = os.path.join(outdir, "parity.lz4"); open(p, "wb").write(frame)
     report["entries"].append({"name": f"{tag}-{kern}-parity", "mbps": mbps, "path": p})
-    npos = rep_p.counters.get("n_positions", 0)
+    npos = rep_p.counters.get("n_positions", 0) if rep_p else 0
     if npos:
         # device certificate miss rate = parity-refine volume
         report["unconv_pct"] = round(
             100.0 * rep_p.counters.get("n_refine_positions", 0) / npos, 2)
         print(f"parity refine volume: {report['unconv_pct']}% of "
               f"{npos} device positions", file=sys.stderr, flush=True)
-    if on_tpu:
+    if on_tpu and rep_p is not None:
         # speed-of-light accounting: per-stage achieved vs ceiling and
         # the projected e2e on a production PCIe host
         from smallz4_tpu.utils import sol as _sol

@@ -9,12 +9,14 @@ improvements stop moving e2e long before the chip is the limit).
 Ceilings and their provenance (v5e, one chip):
 
 * ``PLANE_TOUCH_PER_S`` — the chunk engine is bitonic sort/merge/probe
-  over int32 planes: dense rolls + compare-selects.  The measured
-  production sort (ops/sortnet.py, exp/probe_tpu3.py: 255 M rec/s for a
-  2^16 sort of 4 planes = 136 stages) moves 255e6*136*4 ~ 1.4e11
-  plane-element stage-touches/s.  That constant is the empirical VPU
-  ceiling for this op mix (the chip's raw int32 ALU rate is higher; the
-  constant absorbs roll latency and layout overheads).
+  over int32 planes: dense rolls + compare-selects.  Two measurements
+  bracket the constant: the production sort alone (ops/sortnet.py,
+  exp/probe_tpu3.py: 255 M rec/s x 136 stages x 4 planes ~ 1.4e11
+  touches/s) and the full r4 kernel (115.6 MB/s x 1762 touches/B ~
+  2.0e11 — merge/probe stages move fewer rolls per touch than sort
+  stages).  The calibrated 2.4e11 is the empirical VPU ceiling for this
+  op mix (the chip's raw int32 ALU rate is higher; the constant absorbs
+  roll latency and layout overheads).
 * ``GATHER_PER_S`` — measured per-lane random gather rate
   (exp/probe_tpu*.py): the ceiling for the pointer-doubling device DP.
 * ``HOST_DP_BPS`` / ``HOST_REFINE_BPS`` — measured native runtime rates
@@ -28,12 +30,18 @@ alongside so the arithmetic is checkable.
 """
 from __future__ import annotations
 
-PLANE_TOUCH_PER_S = 1.4e11   # measured: 255 M rec/s x 136 stages x 4 planes
+PLANE_TOUCH_PER_S = 2.4e11   # calibrated: the r4 suffix-order kernel moves
+                             # 115.6 MB/s x 1762 touches/B = 2.04e11, and the
+                             # sort-only probe 1.4e11 (255 M rec/s x 136 x 4) —
+                             # merge/probe touches are cheaper than sort
+                             # touches, so the blended ceiling sits above both
 GATHER_PER_S = 0.13e9        # measured per-lane random gather
 HOST_DP_BPS = 166e6          # native estimate_costs, per core (PERF.md)
-HOST_REFINE_BPS = 5e6        # native match_refine on -9-dense spans
+HOST_REFINE_BPS = 10e6       # native match_refine per core on -9-dense spans
+                             # (adversarial 87%-mask runs measure ~5 MB/s e2e)
 PCIE_BPS = 16e9              # production host link (PCIe Gen3 x16)
-TUNNEL_BPS = 25e6            # measured dev-tunnel rate
+TUNNEL_BPS = 60e6            # dev-tunnel, measured 25-60 MB/s across sessions
+HOST_CORES_PROJECTED = 16    # production TPU-host core count for projections
 
 
 def chunk_engine_touches_per_byte(planes: int = 6, chunk_log2: int = 16,
@@ -118,16 +126,20 @@ def report(*, bytes_in: int, stages: dict, counters: dict,
         }
 
     # projected e2e on a PCIe host: device match in series with the
-    # PCIe transfer volume; the host tail overlaps (worker pool), so the
-    # projection is the max of (device+link series, host tail)
+    # PCIe transfer volume; the host tail (refine+DP+emit) overlaps and
+    # parallelizes per block across the worker pool, so the projection
+    # is the max of (device+link series, host tail across
+    # HOST_CORES_PROJECTED cores)
     if device_match_mbps and bytes_in:
         per_byte_xfer = (d2h + h2d) / bytes_in if bytes_in else 1.0
         dev_s_per_b = 1.0 / (device_match_mbps * 1e6)
         pcie_s_per_b = per_byte_xfer / PCIE_BPS
         miss = (unconv_pct or 0.0) / 100.0
-        host_s_per_b = 1.0 / HOST_DP_BPS + miss / HOST_REFINE_BPS
+        host_s_per_b = (1.0 / HOST_DP_BPS + miss / HOST_REFINE_BPS) \
+            / HOST_CORES_PROJECTED
         e2e = 1.0 / max(dev_s_per_b + pcie_s_per_b, host_s_per_b)
         out["projected_pcie_e2e_mbps"] = round(e2e / 1e6, 1)
+        out["projected_cores"] = HOST_CORES_PROJECTED
         out["projected_bottleneck"] = (
             "device" if dev_s_per_b + pcie_s_per_b >= host_s_per_b
             else "host_tail")
