@@ -303,6 +303,24 @@ if projected <= budget:
               file=sys.stderr, flush=True)
     except Exception as e:
         print(f"device-resident e2e failed: {e!r}", file=sys.stderr, flush=True)
+    try:
+        # batched multi-frame device decode (the TPU-shaped decode
+        # parallelism; single-stream device decode is gather-bound)
+        from smallz4_tpu import native as _nat3
+        from smallz4_tpu.ops import decoder as _dec
+        frs = [_nat3.compress(corpus[i * (1 << 20):(i + 1) * (1 << 20)], 9)
+               for i in range(8)]
+        _dec.decompress_batch(frs)  # compile+warm
+        t0 = time.time()
+        outs = _dec.decompress_batch(frs)
+        tot = sum(len(o) for o in outs)
+        assert tot == 8 << 20
+        report["device_batch_decode_mbps"] = round(tot / (time.time() - t0) / 1e6, 2)
+        print(f"device batch decode (8 frames): "
+              f"{report['device_batch_decode_mbps']} MB/s",
+              file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"device batch decode failed: {e!r}", file=sys.stderr, flush=True)
 print(json.dumps(report))
 """
 
@@ -344,6 +362,7 @@ def _tpu_phase_subprocess(corpus: bytes):
                                             "device_match_dp_mbps",
                                             "device_resident_mbps",
                                             "device_resident_d2h_bpb",
+                                            "device_batch_decode_mbps",
                                             "unconv_pct",
                                             "unconv_adversarial_pct",
                                             "projected_pcie_e2e_mbps")}

@@ -150,3 +150,114 @@ class TpuBlockDecoder:
     def decode(self, payload: bytes, hist: bytes) -> bytes:
         res, out_len = self.decode_dev(payload, self.hist_device(hist))
         return np.asarray(res)[:out_len].tobytes()
+
+
+# ---------------------------------------------------------------------------
+# batched multi-frame decode — the TPU-shaped decode parallelism
+# ---------------------------------------------------------------------------
+
+def _bucket(n: int, lo: int) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def _expand_batch(payload, hist, lit_len, match_len, match_off, lit_src,
+                  out_cap: int):
+    out = jax.vmap(functools.partial(expand_block, out_cap=out_cap))(
+        payload, hist, lit_len, match_len, match_off, lit_src)
+    return out
+
+
+@jax.jit
+def _update_hist_batch(hist, out, out_len):
+    return jax.vmap(_update_hist)(hist, out, out_len)
+
+
+def decompress_batch(frames, dictionary: bytes | None = None) -> list:
+    """Decode MANY independent LZ4 frames with batched device expansion.
+
+    Single-stream device decode is architecturally gather-bound
+    (docs/PARITY.md "Decode path decision"); the TPU-shaped decode
+    parallelism is across frames: round r expands block r of EVERY
+    frame in one vmapped dispatch, with each frame's 64 KB history
+    chained device-resident between rounds.  Host work per block is the
+    serial sequence parse (native runtime, ~1 GB/s).
+
+    Stored blocks ride the same kernel as a single literal run, so
+    mixed stored/compressed batches stay uniform.  Returns the decoded
+    payload of each frame (list of bytes, frame order preserved)."""
+    from .. import format as fmt
+    from .. import native
+
+    B = len(frames)
+    if B == 0:
+        return []
+    # host parse: every frame -> per-block sequence tables
+    per_frame = []  # list of lists of (payload bytes, tables, out_len)
+    for data in frames:
+        data = bytes(data)
+        info = fmt.parse_frame_header(data)
+        pos = info.header_size
+        blocks = []
+        while True:
+            if pos + 4 > len(data):
+                if info.legacy:
+                    break
+                raise fmt.FormatError("out of data")
+            size, is_comp = fmt.parse_block_header(data[pos:pos + 4],
+                                                   info.legacy)
+            pos += 4
+            if size == 0:
+                break
+            if pos + size > len(data):
+                raise fmt.FormatError("out of data")
+            payload = data[pos:pos + size]
+            pos += size
+            if is_comp:
+                ll, ml, mo, ls = native.parse_sequences(payload)
+                out_len = int(ll.sum() + ml.sum())
+            else:  # stored block = one literal-run sequence
+                ll = np.asarray([size], np.int32)
+                ml = np.zeros(1, np.int32)
+                mo = np.zeros(1, np.int32)
+                ls = np.zeros(1, np.int32)
+                out_len = size
+            blocks.append((payload, (ll, ml, mo, ls), out_len))
+            if info.has_block_checksum:
+                pos += 4
+            if (info.legacy and is_comp
+                    and out_len < fmt.MAX_BLOCK_SIZE_LEGACY):
+                break
+        per_frame.append(blocks)
+
+    hist = jnp.stack([TpuBlockDecoder.hist_device(
+        bytes(dictionary)[-HIST_CAP:] if dictionary else b"")] * B)
+    rounds = max((len(b) for b in per_frame), default=0)
+    outs: list[list[bytes]] = [[] for _ in range(B)]
+    for r in range(rounds):
+        rows = [pf[r] if r < len(pf) else (b"", (np.zeros(0, np.int32),) * 4, 0)
+                for pf in per_frame]
+        oc = _bucket(max(max((o for _, _, o in rows), default=1), 1), 4096)
+        pc = _bucket(max(max((len(p) for p, _, _ in rows), default=1), 1),
+                     1024)
+        sc = _bucket(max(max((len(t[0]) for _, t, _ in rows), default=1), 1),
+                     256)
+        pay = np.zeros((B, pc), np.uint8)
+        tabs = [np.zeros((B, sc), np.int32) for _ in range(4)]
+        tabs[2][:] = 1  # match_off padding
+        for i, (p, (ll, ml, mo, ls), _o) in enumerate(rows):
+            pay[i, :len(p)] = np.frombuffer(p, np.uint8)
+            for t, a in zip(tabs, (ll, ml, mo, ls)):
+                t[i, :len(a)] = a
+        out = _expand_batch(jnp.asarray(pay), hist,
+                            *(jnp.asarray(t) for t in tabs), out_cap=oc)
+        lens = jnp.asarray([o for _, _, o in rows], jnp.int32)
+        hist = _update_hist_batch(hist, out, lens)
+        out_np = np.asarray(out)
+        for i, (_p, _t, o) in enumerate(rows):
+            if o:
+                outs[i].append(out_np[i, :o].tobytes())
+    return [b"".join(o) for o in outs]
