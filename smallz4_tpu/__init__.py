@@ -34,3 +34,10 @@ def decompress(data, dictionary=None, engine: str = "auto") -> bytes:
     """Decompress a complete LZ4 frame (modern or legacy)."""
     from .codec import decompress as _decompress
     return _decompress(data, dictionary=dictionary, engine=engine)
+
+
+def decompress_batch(frames, dictionary=None, engine: str = "auto") -> list:
+    """Decode many independent frames; engine='tpu' batches block
+    expansions across frames in one vmapped device dispatch."""
+    from .codec import decompress_batch as _db
+    return _db(frames, dictionary=dictionary, engine=engine)

@@ -48,3 +48,15 @@ def decompress(data, dictionary=None, engine="auto") -> bytes:
         if engine == "native":
             raise RuntimeError("native runtime not built (run `make -C native`)")
     return oracle.decompress(data, dictionary=dictionary)
+
+
+def decompress_batch(frames, dictionary=None, engine="auto") -> list:
+    """Decode many independent frames.  'tpu' batches block expansions
+    across frames in one vmapped device dispatch (the TPU-shaped decode
+    parallelism — ops.decoder.decompress_batch); 'auto'/'native' loop
+    the fast host decoder."""
+    if engine == "tpu":
+        from .ops import decoder
+        return decoder.decompress_batch(frames, dictionary=dictionary)
+    return [decompress(f, dictionary=dictionary, engine=engine)
+            for f in frames]

@@ -46,3 +46,12 @@ def test_batch_with_dictionary():
 
 def test_batch_empty():
     assert decoder.decompress_batch([]) == []
+
+
+def test_public_api_batch():
+    import smallz4_tpu
+
+    raws = [b"alpha " * 200, b"beta " * 150]
+    frames = [native.compress(r, 9) for r in raws]
+    assert smallz4_tpu.decompress_batch(frames) == raws
+    assert smallz4_tpu.decompress_batch(frames, engine="tpu") == raws
