@@ -347,7 +347,7 @@ def _tpu_phase_subprocess(corpus: bytes):
         except subprocess.TimeoutExpired:
             log(f"tpu phase exceeded {wall:.0f}s wall clock; skipped")
             return out, probe
-        for line in res.stderr.splitlines()[-10:]:
+        for line in res.stderr.splitlines()[-22:]:
             log(f"[tpu] {line}")
         if res.returncode != 0:
             log(f"tpu phase failed (rc={res.returncode})")
