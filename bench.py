@@ -33,15 +33,37 @@ def corpus_and_name(n: int = CORPUS_BYTES):
     """The headline corpus: the REAL Silesia corpus when vendored at
     benchdata/silesia (see scripts/fetch_silesia.py — the build
     environment has no network egress, so it cannot be fetched here),
-    else the deterministic Silesia-like mix (cross-round continuity)."""
+    else the deterministic Silesia-like mix (cross-round continuity).
+
+    The switch requires the vendored directory to be COMPLETE (every
+    member present at its canonical size) — a partial download must not
+    silently rename the headline metric or change the measured bytes."""
     sil = pathlib.Path(__file__).resolve().parent / "benchdata" / "silesia"
-    files = sorted(p for p in sil.iterdir()) if sil.is_dir() else []
-    if files:
-        buf = bytearray()
-        for f in files:
-            buf += f.read_bytes()
-            if len(buf) >= n:
-                return bytes(buf[:n]), "silesia"
+    if sil.is_dir():
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "fetch_silesia",
+                pathlib.Path(__file__).resolve().parent / "scripts"
+                / "fetch_silesia.py")
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            complete = all(
+                (sil / name).is_file()
+                and (sil / name).stat().st_size == size
+                for name, size in mod.SIZES.items())
+        except Exception:
+            complete = False
+        if complete:
+            buf = bytearray()
+            for name in sorted(mod.SIZES):
+                buf += (sil / name).read_bytes()
+                if len(buf) >= n:
+                    return bytes(buf[:n]), "silesia"
+        else:
+            log("benchdata/silesia present but incomplete — keeping the "
+                "deterministic silesia_like corpus")
     return make_corpus(n), "silesia_like"
 
 

@@ -42,10 +42,8 @@ def census(data: bytes):
         hi = min(n, c0 + CH)
         m = hi - lo            # merged window positions
         pos = np.arange(lo, hi)
-        order = np.lexsort(tuple(w[i][lo:hi] for i in (4, 3, 2, 1, 0))
-                           + (pos,))
-        # order: sorted by (k1,e1,e2,x1,x2? ...) — lexsort uses LAST key
-        # as primary: pass (pos, x2, x1, e2, e1, k1) reversed
+        # lexsort uses the LAST key as primary: pass
+        # (pos, x2, x1, e2, e1, k1) so k1 is the primary key
         order = np.lexsort((pos,) + tuple(w[i][lo:hi]
                                           for i in (4, 3, 2, 1, 0)))
         spos = pos[order]

@@ -41,7 +41,7 @@ def main():
 
     t0 = time.time()
     rep = RunReport(operation="encode", engine="tpu")
-    frame = pipeline.compress(data, 9, kernel="chunk", report=rep)
+    frame = pipeline.compress(data, 9, kernel="chunk", parity=False, report=rep)
     t_first = time.time() - t0
     print(f"fast first-run (incl compile): {t_first:.1f}s", flush=True)
     assert native.decompress(frame) == data
@@ -52,7 +52,7 @@ def main():
     for run in range(2):
         rep = RunReport(operation="encode", engine="tpu")
         t0 = time.time()
-        frame = pipeline.compress(data, 9, kernel="chunk", report=rep)
+        frame = pipeline.compress(data, 9, kernel="chunk", parity=False, report=rep)
         dt = time.time() - t0
         print(f"fast warm run {run}: {dt:.2f}s = {mb/dt:.2f} MB/s; "
               f"stages={ {k: round(v,2) for k,v in rep.stages.items()} }",

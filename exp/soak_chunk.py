@@ -36,7 +36,7 @@ with pltpu.force_tpu_interpret_mode():
                                         kernel="chunk")
                 assert got == want, "parity"
             elif kind == 1:    # multi-block fast roundtrip
-                got = pipeline.compress(data, 9, block_size=C, kernel="chunk")
+                got = pipeline.compress(data, 9, block_size=C, kernel="chunk", parity=False)
                 assert native.decompress(got) == data
                 ref = native.compress(data, 9, block_size=C)
                 assert len(got) <= int(len(ref) * 1.12) + 64, (len(got), len(ref))
@@ -51,7 +51,7 @@ with pltpu.force_tpu_interpret_mode():
                 assert got == want, "dict parity"
             else:              # legacy single block
                 want = native.compress(data[:C], 9, legacy=True, block_size=C)
-                got = pipeline.compress(data[:C], 9, legacy=True,
+                got = pipeline.compress(data[:C], 9, legacy=True, parity=False,
                                         block_size=C, parity=True,
                                         kernel="chunk")
                 assert got == want, "legacy parity"

@@ -62,7 +62,12 @@ def main() -> int:
 
             data = bz2.decompress(raw)
         except Exception:
-            data = zlib.decompress(raw)  # some mirrors serve zlib
+            try:
+                data = zlib.decompress(raw)  # some mirrors serve zlib
+            except Exception:
+                print(f"FAILED: {name} payload is neither bz2 nor zlib "
+                      f"(mirror error page?)", file=sys.stderr)
+                return 1
         if len(data) != want:
             print(f"FAILED: {name} decompressed to {len(data)} bytes, "
                   f"expected {want}", file=sys.stderr)

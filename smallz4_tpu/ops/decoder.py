@@ -199,7 +199,21 @@ def decompress_batch(frames, dictionary: bytes | None = None) -> list:
     per_frame = []  # list of lists of (payload bytes, tables, out_len)
     for data in frames:
         data = bytes(data)
+        # leading skippable frames (LZ4 spec) — same acceptance as the
+        # single-stream decode paths (pipeline.decompress, native)
+        import struct as _struct
+
+        while len(data) >= 8:
+            magic = _struct.unpack_from("<I", data, 0)[0]
+            if (magic & fmt.MAGIC_SKIPPABLE_MASK) != fmt.MAGIC_SKIPPABLE_BASE:
+                break
+            skip = _struct.unpack_from("<I", data, 4)[0]
+            if 8 + skip > len(data):
+                raise fmt.FormatError("out of data")
+            data = data[8 + skip:]
         info = fmt.parse_frame_header(data)
+        block_cap = (fmt.MAX_BLOCK_SIZE_LEGACY if info.legacy
+                     else fmt.MAX_BLOCK_SIZE)
         pos = info.header_size
         blocks = []
         while True:
@@ -219,6 +233,11 @@ def decompress_batch(frames, dictionary: bytes | None = None) -> list:
             if is_comp:
                 ll, ml, mo, ls = native.parse_sequences(payload)
                 out_len = int(ll.sum() + ml.sum())
+                if out_len > block_cap:
+                    # same guard as TpuBlockDecoder.decode_dev: a corrupt
+                    # frame must not size the batch buffers
+                    raise fmt.FormatError(
+                        "block exceeds declared maximum size")
             else:  # stored block = one literal-run sequence
                 ll = np.asarray([size], np.int32)
                 ml = np.zeros(1, np.int32)

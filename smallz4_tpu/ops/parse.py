@@ -218,11 +218,9 @@ def estimate_costs_device(lens: jnp.ndarray, dists: jnp.ndarray, n,
             2, n_tiers + 1, tier_body, (best_c, best_l))
 
         # MaxSameLetter distance-1 run shortcut OVERRIDES the scan
-        # (smallz4.h:409-416: taken without comparing to the literal)
-        run_cost = jnp.take(cost, jnp.clip(idx + L, 0, N - 1)) \
-            + _extra_match(L)
+        # (smallz4.h:409-416: the full match is taken without comparing
+        # to the literal; its cost re-evaluates next round)
         best_l = jnp.where(run_sc & ~term, L, jnp.where(term, 1, best_l))
-        del run_cost  # the choice is forced; its cost re-evaluates next round
         return best_l
 
     def body(carry):

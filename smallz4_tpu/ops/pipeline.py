@@ -676,8 +676,35 @@ def compress_device_resident(data, block_size: int | None = None,
             _time.perf_counter() - t0)
         t0 = _time.perf_counter()
         m = int(n_out)
-        if not bool(ok):  # DP round cap hit: host DP on the raw claims
-            raise RuntimeError("device DP did not converge")
+        if not bool(ok):
+            # DP round cap hit (the documented safety net, ops/parse.py):
+            # redo this block on the host — exact matcher + host DP +
+            # emit; the stream stays valid, only this block's bytes
+            # differ from the device path's
+            from .. import native
+
+            lo = max(start - HALO, 0)
+            ctx = np.frombuffer(data[lo:end], np.uint8)
+            base = start - lo
+            lens = np.ones(bs, np.int32)
+            dists = np.zeros(bs, np.int32)
+            native.match_block_ex(
+                ctx, base=base, bs=bs, level=9, lookback=base,
+                cut_pos=(base - fmt.BLOCK_END_NO_MATCH
+                         if start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
+                         else -1),
+                lens=lens, dists=dists)
+            native.estimate_costs(lens, dists)
+            pay = native.emit_block(data[start:end], lens, dists)
+            if len(pay) < bs:
+                out += fmt.build_block_header(len(pay), False, False)
+                out += pay
+            else:
+                out += fmt.build_block_header(bs, True, False)
+                out += data[start:end]
+            stages["fetch_assemble"] = stages.get("fetch_assemble", 0.0) + (
+                _time.perf_counter() - t0)
+            continue
         if m < bs:
             pay = np.asarray(payload[:m]).tobytes()
             stages["n_d2h_bytes"] = stages.get("n_d2h_bytes", 0) + m + 8

@@ -55,3 +55,30 @@ def test_public_api_batch():
     frames = [native.compress(r, 9) for r in raws]
     assert smallz4_tpu.decompress_batch(frames) == raws
     assert smallz4_tpu.decompress_batch(frames, engine="tpu") == raws
+
+
+def test_batch_skippable_prefix():
+    """Engine parity: batched decode accepts leading skippable frames
+    like every other decode path."""
+    import struct
+
+    raw = b"skippable test payload " * 60
+    fr = native.compress(raw, 9)
+    sk = struct.pack("<II", 0x184D2A50, 6) + b"ABCDEF"
+    assert decoder.decompress_batch([sk + fr]) == [raw]
+
+
+def test_batch_corrupt_block_size_rejected():
+    """A corrupt frame whose sequences sum past the declared maximum
+    block size raises FormatError instead of sizing device buffers."""
+    import smallz4_tpu.format as fmt
+
+    # token 0x10 = 1 literal + match len 19 -> many sequences
+    # amplifying far past MAX_BLOCK_SIZE from a small payload
+    seq = b"\x1f" + b"A" + b"\x01\x00" + b"\xff" * 120 + b"\x00"
+    payload = seq * 2000
+    frame = (fmt.build_frame_header(False)
+             + fmt.build_block_header(len(payload), False, False)
+             + payload + fmt.build_end_mark(False))
+    with pytest.raises(fmt.FormatError):
+        decoder.decompress_batch([frame])

@@ -123,3 +123,30 @@ def test_device_resident_encode_roundtrip():
         assert len(frame) <= int(len(want) * 1.30) + 64
     finally:
         (chunkmatch.CHUNK, chunkmatch.GROUP, chunkmatch.HEAD_CAP) = saved
+
+
+def test_device_resident_dp_fallback(monkeypatch):
+    """A non-converged device DP must fall back to the host DP for the
+    block and still produce a valid stream (the documented safety net)."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from smallz4_tpu.ops import chunkmatch, pipeline
+
+    C = 1024
+    saved = (chunkmatch.CHUNK, chunkmatch.GROUP, chunkmatch.HEAD_CAP)
+    chunkmatch.CHUNK, chunkmatch.GROUP, chunkmatch.HEAD_CAP = C, 1, C
+    real = pipeline._device_resident_block_step
+
+    def fake(*a, **k):
+        halo, payload, n_out, _ok = real(*a, **k)
+        return halo, payload, n_out, jnp.bool_(False)
+
+    monkeypatch.setattr(pipeline, "_device_resident_block_step", fake)
+    try:
+        data = (b"fallback path data " * 120)[: 2 * C]
+        with pltpu.force_tpu_interpret_mode():
+            frame = pipeline.compress_device_resident(data, block_size=2 * C)
+        assert native.decompress(frame) == data
+    finally:
+        (chunkmatch.CHUNK, chunkmatch.GROUP, chunkmatch.HEAD_CAP) = saved
