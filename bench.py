@@ -355,7 +355,7 @@ def _tpu_phase_subprocess(corpus: bytes):
     # remote-compile latency through the dev tunnel is volatile (350-750 s
     # observed for the same kernels); budget generously — a hung probe is
     # still killed, and measured runs themselves take seconds
-    wall = float(os.environ.get("SMALLZ4_TPU_BENCH_WALL_S", "2700"))
+    wall = float(os.environ.get("SMALLZ4_TPU_BENCH_WALL_S", "3400"))
     repo = os.path.dirname(os.path.abspath(__file__))
     out, probe = [], {}
     with tempfile.TemporaryDirectory() as td:
