@@ -50,7 +50,7 @@ def compress_distributed(
     data: bytes,
     block_size: int = fmt.MAX_BLOCK_SIZE,
     max_candidates: int = 16,
-    parity: bool = False,
+    parity: bool = True,
 ) -> bytes | None:
     """All-hosts collective compression; returns the frame on process 0,
     None elsewhere.  Single-process: plain sharded compression."""
