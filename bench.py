@@ -67,10 +67,35 @@ def corpus_and_name(n: int = CORPUS_BYTES):
     return make_corpus(n), "silesia_like"
 
 
+#: sha256 of the committed real-data fixture (10 MB of /usr/include
+#: headers, assembled once in round 5 and vendored as
+#: benchdata/realcorpus.bin.xz) — the real-file metric is computed from
+#: these exact committed bytes on every machine, so cross-round numbers
+#: compare the code, not the machine image
+REAL_FIXTURE_SHA256 = (
+    "3e31bcc300eaa43295c61bac3ccf1a8cea3720490cd5a40066d6a8f64ff582f6")
+
+
 def real_file_corpus(n: int = CORPUS_BYTES) -> bytes | None:
-    """Machine-local real data: /usr/include contents in sorted order
-    (the corpus class BASELINE.md measured; the live-built reference is
-    timed on the same bytes, so machine-dependence cancels)."""
+    """Real data: the committed fixture benchdata/realcorpus.bin.xz
+    (sha256-pinned, identical on every machine).  Falls back to a
+    machine-local /usr/include walk only if the fixture is missing or
+    corrupt (the live-built reference is timed on the same bytes either
+    way, so the comparison stays apples-to-apples)."""
+    import hashlib
+    import lzma
+
+    fix = pathlib.Path(__file__).resolve().parent / "benchdata" / "realcorpus.bin.xz"
+    if fix.is_file():
+        try:
+            data = lzma.decompress(fix.read_bytes())
+            if hashlib.sha256(data).hexdigest() == REAL_FIXTURE_SHA256:
+                return data[:n]
+            log("benchdata/realcorpus.bin.xz sha256 mismatch — falling "
+                "back to the machine-local walk")
+        except Exception as e:
+            log(f"benchdata/realcorpus.bin.xz unreadable ({e!r}) — falling "
+                f"back to the machine-local walk")
     root = pathlib.Path("/usr/include")
     if not root.is_dir():
         return None
@@ -226,11 +251,13 @@ if projected <= budget:
     # been observed to eat a single measured run (r4: a 183 s
     # device_dispatch outlier against a 0.6 s probe of the same path)
     mbps, rep_p, frame = 0.0, None, b""
-    for _ in range(2):
+    report["parity_mbps_runs"] = []  # both runs recorded: the best-of-2
+    for _ in range(2):               # selection is visible in the JSON
         rep_i = RunReport(operation="encode", engine="tpu")
         t0 = time.time()
         frame_i = pipeline.compress(corpus, 9, report=rep_i, **kw)
         mbps_i = len(corpus) / (time.time() - t0) / 1e6
+        report["parity_mbps_runs"].append(round(mbps_i, 3))
         print(f"tpu parity stages: "
               f"{ {k: round(v, 2) for k, v in rep_i.stages.items()} } "
               f"({mbps_i:.2f} MB/s)", file=sys.stderr, flush=True)
@@ -379,7 +406,8 @@ def _tpu_phase_subprocess(corpus: bytes):
         except Exception:
             log("tpu phase produced no report")
             return out, probe
-        probe = {k: report.get(k) for k in ("probe_mbps", "device_match_mbps",
+        probe = {k: report.get(k) for k in ("probe_mbps", "parity_mbps_runs",
+                                            "device_match_mbps",
                                             "device_dp_mbps",
                                             "device_match_dp_mbps",
                                             "device_resident_mbps",
@@ -394,10 +422,37 @@ def _tpu_phase_subprocess(corpus: bytes):
     return out, probe
 
 
+def silesia_fetch_outcome() -> str:
+    """Record whether the real Silesia corpus can be vendored here
+    (VERDICT r4: the fetch outcome belongs in the bench tail, not in a
+    script nobody runs).  Kept cheap: one short-timeout probe request."""
+    sil = pathlib.Path(__file__).resolve().parent / "benchdata" / "silesia"
+    if sil.is_dir() and any(sil.iterdir()):
+        return "vendored"
+    import urllib.request
+
+    for url in ("https://sun.aei.polsl.pl/~sdeor/corpus/xml.bz2",
+                "http://sun.aei.polsl.pl/~sdeor/corpus/xml.bz2"):
+        try:
+            with urllib.request.urlopen(url, timeout=8) as r:
+                r.read(64)
+            return ("reachable-but-not-vendored: run "
+                    "scripts/fetch_silesia.py")
+        except Exception as e:
+            err = f"{type(e).__name__}"
+    return f"blocked-network ({err})"
+
+
 def main() -> int:
+    import hashlib
+
     corpus, corpus_name = corpus_and_name()
     ref_size, ref_mbps = reference_numbers(corpus)
     log(f"reference ({corpus_name}): size={ref_size} encode={ref_mbps:.2f} MB/s")
+    log(f"headline corpus sha256={hashlib.sha256(corpus).hexdigest()} "
+        f"(deterministic committed generator)")
+    silesia_note = silesia_fetch_outcome()
+    log(f"silesia fetch: {silesia_note}")
 
     from smallz4_tpu import native
     from smallz4_tpu.parallel import host
@@ -500,6 +555,7 @@ def main() -> int:
     if ref_size:
         extras["size_delta_pct"] = round((size / ref_size - 1) * 100, 4)
     extras.update(real_extras)
+    extras["silesia_fetch"] = silesia_note
     print(json.dumps({
         "metric": f"{corpus_name}_10MB_encode_level9_{engine}",
         "value": round(mbps, 3),

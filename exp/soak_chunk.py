@@ -51,7 +51,7 @@ with pltpu.force_tpu_interpret_mode():
                 assert got == want, "dict parity"
             else:              # legacy single block
                 want = native.compress(data[:C], 9, legacy=True, block_size=C)
-                got = pipeline.compress(data[:C], 9, legacy=True, parity=False,
+                got = pipeline.compress(data[:C], 9, legacy=True,
                                         block_size=C, parity=True,
                                         kernel="chunk")
                 assert got == want, "legacy parity"

@@ -15,12 +15,15 @@ integrity check that needs no secret pinning).
 """
 from __future__ import annotations
 
+import hashlib
 import pathlib
 import sys
 import urllib.request
 import zlib
 
-BASE = "http://sun.aei.polsl.pl/~sdeor/corpus/"
+#: HTTPS first; the plain-HTTP canonical home only as a fallback
+BASES = ("https://sun.aei.polsl.pl/~sdeor/corpus/",
+         "http://sun.aei.polsl.pl/~sdeor/corpus/")
 DEST = pathlib.Path(__file__).resolve().parent.parent / "benchdata" / "silesia"
 
 #: canonical member sizes (bytes), as published with the corpus
@@ -39,6 +42,14 @@ SIZES = {
     "x-ray": 8_474_240,
 }
 
+#: per-member sha256 of the DECOMPRESSED bytes.  The corpus is immutable,
+#: so digests are the real integrity check (size alone cannot catch
+#: tampered or corrupted-but-right-size payloads).  This build
+#: environment has zero egress, so the digests cannot be computed here:
+#: on first successful fetch the script PRINTS each digest for the
+#: operator to pin below; any member with a pinned digest is verified.
+SHA256: dict[str, str] = {}
+
 
 def main() -> int:
     DEST.mkdir(parents=True, exist_ok=True)
@@ -47,12 +58,17 @@ def main() -> int:
         if out.exists() and out.stat().st_size == want:
             print(f"{name}: already present ({want} bytes)")
             continue
-        url = f"{BASE}{name}.bz2"
-        print(f"fetching {url} ...")
-        try:
-            raw = urllib.request.urlopen(url, timeout=120).read()
-        except OSError as e:
-            print(f"FAILED to fetch {name}: {e}\n"
+        raw = None
+        for base in BASES:
+            url = f"{base}{name}.bz2"
+            print(f"fetching {url} ...")
+            try:
+                raw = urllib.request.urlopen(url, timeout=120).read()
+                break
+            except OSError as e:
+                err = e
+        if raw is None:
+            print(f"FAILED to fetch {name}: {err}\n"
                   f"(no network egress here? run this script on a "
                   f"connected machine and copy benchdata/silesia/ in)",
                   file=sys.stderr)
@@ -71,6 +87,16 @@ def main() -> int:
         if len(data) != want:
             print(f"FAILED: {name} decompressed to {len(data)} bytes, "
                   f"expected {want}", file=sys.stderr)
+            return 1
+        digest = hashlib.sha256(data).hexdigest()
+        pinned = SHA256.get(name)
+        if pinned is None:
+            print(f"{name}: sha256 {digest} — UNPINNED; add it to SHA256 "
+                  f"in this script to lock the corpus bytes",
+                  file=sys.stderr)
+        elif digest != pinned:
+            print(f"FAILED: {name} sha256 {digest} != pinned {pinned} "
+                  f"(tampered or corrupted payload)", file=sys.stderr)
             return 1
         out.write_bytes(data)
         print(f"{name}: ok ({want} bytes)")

@@ -100,15 +100,19 @@ def report(*, bytes_in: int, stages: dict, counters: dict,
     # host link: measured transferred bytes per input byte
     d2h = counters.get("n_d2h_bytes", 0)
     h2d = counters.get("n_h2d_bytes", 0)
+    # device_dispatch includes kernel execution, so this rate is a LOWER
+    # bound on the pure link rate (transfer time <= sync+dispatch wall):
+    # label it as such rather than pretending it isolates the wire
     sync_s = stages.get("device_sync", 0.0) + stages.get("device_dispatch", 0.0)
     link_achieved = (d2h + h2d) / sync_s if sync_s > 0 else None
     out["link"] = {
         "d2h_bytes_per_byte": round(d2h / bytes_in, 4) if bytes_in else None,
         "h2d_bytes_per_byte": round(h2d / bytes_in, 4) if bytes_in else None,
-        "achieved_Bps": round(link_achieved) if link_achieved else None,
+        "achieved_Bps_incl_compute": (round(link_achieved)
+                                      if link_achieved else None),
         "ceiling_Bps": link_bps,
-        "fraction": (round(link_achieved / link_bps, 3)
-                     if link_achieved else None),
+        "fraction_lower_bound": (round(link_achieved / link_bps, 3)
+                                 if link_achieved else None),
     }
 
     # host refine + DP + emit
