@@ -22,7 +22,7 @@ EDGE = 8
 PROBES = list(range(1, 9)) + [12, 16, 24, 32, 48, 64]
 
 
-def census(data: bytes):
+def census(data: bytes, want_arrays: bool = False):
     n = len(data)
     arr = np.frombuffer(data, np.uint8).astype(np.uint32)
     pad = np.zeros(n + REACH, np.uint32)
@@ -36,6 +36,13 @@ def census(data: bytes):
         "edge_12_19", "atcap", "induction_saved")}
     lens_all = np.ones(n, np.int64)
     dists_all = np.zeros(n, np.int64)
+    conv_all = np.zeros(n, bool)
+    tr_all = np.zeros(n, bool)
+    cf_all = np.zeros(n, bool)
+    l0_all = np.zeros(n, np.int64)
+    d0_all = np.zeros(n, np.int64)
+    gap_all = np.zeros(n, np.int64)   # nearest ≥12-byte sharer distance
+                                      # (suffix-order -1 neighbor, same key)
 
     for c0 in range(0, n, CH):
         lo = max(0, c0 - CH)
@@ -94,6 +101,11 @@ def census(data: bytes):
                 if sk == EDGE:
                     e = np.where(okr, np.minimum(lcp, KEYR), -1)
                     elcp[:, 0 if sgn < 0 else 1] = e
+                if sk == 1 and sgn == -1:
+                    # nearest ≥12-sharer: the -1 suffix-order neighbor is
+                    # the nearest earlier position with the same 12-byte
+                    # key (equal-key groups are pos-sorted)
+                    gap12 = np.where(okr & (d >= 1) & (lcp >= KEYR), d, 0)
                 better = (le > best_l) | ((le == best_l) & (le >= 1)
                                           & ok & (d < best_d))
                 best_d = np.where(better & ok, d, best_d)
@@ -155,6 +167,18 @@ def census(data: bytes):
         stats["edge_12_19"] += int((un & ~TR & CF & (L0 >= 12)).sum())
         lens_all[c0:hi] = lensb
         dists_all[c0:hi] = distsb
+        conv_all[c0:hi] = conv
+        tr_all[c0:hi] = TR
+        cf_all[c0:hi] = CF
+        l0_all[c0:hi] = L0
+        d0_all[c0:hi] = D0
+        gap_all[c0:hi] = gap12[at]
+    if want_arrays:
+        return stats, {
+            "lens": lens_all, "dists": dists_all, "conv": conv_all,
+            "trunc": tr_all, "cert_fail": cf_all, "l0": l0_all,
+            "d0": d0_all, "gap": gap_all,
+        }
     return stats
 
 
