@@ -27,15 +27,21 @@ from smallz4_tpu import format as fmt  # noqa: E402
 from smallz4_tpu import native  # noqa: E402
 
 
-def device_claims_ext(data: bytes):
-    """device_claims + split-edge length cert + gap-dist flag."""
+def device_claims_ext(data: bytes, key_words: int = 3, verify_words: int = 5):
+    """device_claims + split-edge length cert + gap-dist flag.
+
+    key_words: words in the sort key (3 = 12-byte r4 order, 5 = 20-byte);
+    verify_words: words available for byte verification (>= key_words)."""
+    global KEYR, REACH
+    KEYR = 4 * key_words
+    REACH = 4 * verify_words
     n = len(data)
     arr = np.frombuffer(data, np.uint8).astype(np.uint32)
-    pad = np.zeros(n + REACH, np.uint32)
+    pad = np.zeros(n + 4 * verify_words, np.uint32)
     pad[:n] = arr
     w = [(pad[o:o + n] << 24) | (pad[o + 1:o + 1 + n] << 16)
          | (pad[o + 2:o + 2 + n] << 8) | pad[o + 3:o + 3 + n]
-         for o in (0, 4, 8, 12, 16)]
+         for o in range(0, 4 * verify_words, 4)]
     out = {k: np.zeros(n, np.int64) for k in ("lens", "dists", "gap")}
     out["conv"] = np.zeros(n, bool)
     out["lenok"] = np.zeros(n, bool)   # split edge: length-only cert
@@ -46,9 +52,10 @@ def device_claims_ext(data: bytes):
         hi = min(n, c0 + CH)
         m = hi - lo
         pos = np.arange(lo, hi)
-        order = np.lexsort((pos, w[2][lo:hi], w[1][lo:hi], w[0][lo:hi]))
+        order = np.lexsort((pos,) + tuple(w[i][lo:hi]
+                                          for i in range(key_words - 1, -1, -1)))
         spos = pos[order].astype(np.int64)
-        sw = [w[i][lo:hi][order].astype(np.int64) for i in range(5)]
+        sw = [w[i][lo:hi][order].astype(np.int64) for i in range(verify_words)]
 
         best_l = np.zeros(m, np.int64)
         best_d = np.zeros(m, np.int64)
@@ -63,7 +70,7 @@ def device_claims_ext(data: bytes):
                 jj = np.clip(j, 0, m - 1)
                 lcp = np.zeros(m, np.int64)
                 done = np.zeros(m, bool)
-                for kw in range(5):
+                for kw in range(verify_words):
                     x = (sw[kw] ^ sw[kw][jj]).astype(np.uint64)
                     for b in (24, 16, 8, 0):
                         ne = ((x >> np.uint64(b)) & np.uint64(0xFF)) != 0

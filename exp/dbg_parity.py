@@ -35,7 +35,7 @@ with pltpu.force_tpu_interpret_mode():
             buf = jnp.asarray(padded[cs : cs + C + 16])
             real = min(C, blen - j * C)
             cur = chunkmatch.sort_chunk(buf, jnp.int32(0), jnp.int32(real), chunk=C)
-            l, d, cv = chunkmatch.probe_pair(
+            l, d, cv, _lk = chunkmatch.probe_pair(
                 halo, cur, jnp.int32(0), jnp.int32(-1),
                 jnp.int32(0), jnp.int32(real),
                 jnp.int32(blen - j * C - fmt.BLOCK_END_LITERALS), chunk=C)
@@ -61,7 +61,7 @@ with pltpu.force_tpu_interpret_mode():
             bufs[j, :take] = padded[cs : cs + take]
             cand[j] = vhi[j] = max(0, min(C, blen - j * C))
             lim[j] = blen - j * C - fmt.BLOCK_END_LITERALS
-        halo, (bits, packed, counts, cbits) = chunkmatch.match_chunks(
+        halo, (bits, packed, counts, cbits, _kbits) = chunkmatch.match_chunks(
             halo, jnp.asarray(bufs), jnp.asarray(cand), jnp.asarray(vhi),
             jnp.asarray(lim), jnp.int32(0), jnp.int32(-1),
             n_chunks=ng, head_cap=C, chunk=C)

@@ -69,7 +69,7 @@ def main():
             halo, cur = (h0, h1, h2, h3), (c0, c1, c2, c3)
             acc = jnp.int32(0)
             for i in range(m):
-                lens, dists, conv = chunkmatch.probe_pair(
+                lens, dists, conv, _lk = chunkmatch.probe_pair(
                     halo, cur, jnp.int32(0), jnp.int32(-1),
                     jnp.int32(i % 2), jnp.int32(C - 11), jnp.int32(C - 5))
                 acc = acc + lens.astype(jnp.int32)[0]

@@ -32,7 +32,7 @@ def main():
         take = min(CH + 16, len(arr) - s)
         buf[:take] = arr[s : s + take]
         cur = cm.sort_chunk(jnp.asarray(buf), jnp.int32(0), jnp.int32(CH))
-        lens, dists, conv = jax.block_until_ready(cm.probe_pair(
+        lens, dists, conv, _lk = jax.block_until_ready(cm.probe_pair(
             halo, cur, jnp.int32(0), jnp.int32(-1), jnp.int32(0),
             jnp.int32(CH), jnp.int32(len(arr) - s - 5)))
         halo = cur

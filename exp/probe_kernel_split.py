@@ -81,7 +81,7 @@ def main():
     @jax.jit
     def full(halo, buf):
         cur = cm.sort_chunk(buf, jnp.int32(0), jnp.int32(CH))
-        lens, dists, conv = cm.probe_pair(
+        lens, dists, conv, _lk = cm.probe_pair(
             halo, cur, jnp.int32(0), jnp.int32(-1), jnp.int32(0),
             jnp.int32(CH), jnp.int32(2 * CH))
         return cur, lens, dists, conv
@@ -91,10 +91,10 @@ def main():
     @jax.jit
     def full_pack(halo, buf):
         cur = cm.sort_chunk(buf, jnp.int32(0), jnp.int32(CH))
-        lens, dists, conv = cm.probe_pair(
+        lens, dists, conv, _lk = cm.probe_pair(
             halo, cur, jnp.int32(0), jnp.int32(-1), jnp.int32(0),
             jnp.int32(CH), jnp.int32(2 * CH))
-        return cur, cm.pack_results(lens, dists, conv)
+        return cur, cm.pack_results(lens, dists, conv, _lk)
 
     _, t_fp = bench("full + pack", full_pack, halo, buf1)
     print(f"\ncomponents: sort {t_sort*1e3:.3f} merge {t_merge*1e3:.3f} "

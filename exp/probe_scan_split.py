@@ -95,7 +95,7 @@ def main():
         def step(carry, xs):
             buf, ml = xs
             cur = cm.sort_chunk(buf, jnp.int32(0), jnp.int32(CH))
-            lens, dists, conv = cm.probe_pair(
+            lens, dists, conv, _lk = cm.probe_pair(
                 carry, cur, jnp.int32(0), jnp.int32(-1), jnp.int32(0),
                 jnp.int32(CH), ml)
             return cur, lens[0]

@@ -161,6 +161,22 @@ int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
                           const uint8_t *mask, int32_t *out_len,
                           int32_t *out_dist);
 
+/* Distance-only refine: like tlz4_match_refine, but targets[i] carries the
+ * certified exact max length at each masked position (the TPU length-known
+ * certificate), letting the walk stop at its FIRST achiever — which is the
+ * reference's nearest-of-max (smallz4.h:173-255 walks nearest-first and
+ * only accepts strict improvements).  Bit-exact and far cheaper than a
+ * full re-search when targets are long. */
+int64_t tlz4_match_refine2(const uint8_t *buf, int64_t buf_n, int64_t base,
+                           int64_t bs, int64_t lookback, int64_t cut_pos,
+                           const uint8_t *mask, const int32_t *targets,
+                           int32_t *out_len, int32_t *out_dist);
+
+/* Match starts of a DP-shortened lens array (the emitter's walk,
+ * smallz4.h:259-371): out_mask[i] = 1 iff a match is emitted at position i.
+ * Returns the number of chosen matches. */
+int64_t tlz4_chosen(const int32_t *lens, int64_t bs, uint8_t *out_mask);
+
 /* Backward optimal-parse DP; shortens lens in place (reference parity:
  * smallz4.h:376-472). */
 int64_t tlz4_estimate_costs(int32_t *lens, const int32_t *dists, int64_t n);

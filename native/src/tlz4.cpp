@@ -210,7 +210,8 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
                          int64_t q0, int64_t cap, int64_t max_chain,
                          int64_t run_start, int64_t run_ins_tail,
                          int aux_levels, int32_t *out_len,
-                         int32_t *out_dist) {
+                         int32_t *out_dist,
+                         int64_t early_stop = INT64_MAX) {
   const uint8_t *cur = buf + (p - buf_zero);
   const uint32_t gram = load32(cur);
   /* Boundary chain cuts (block-boundary re-insert, smallz4.h:667,676,720)
@@ -253,6 +254,11 @@ inline void find_longest(const MatchTables &t, const uint8_t *buf,
       if (len >= best + 1) {
         best = len;
         best_dist = p - q;
+        /* early_stop: the caller certified the exact max length, so the
+         * first achiever (nearest-first walk order) IS the reference's
+         * kept candidate — later candidates can only tie and the
+         * reference's '>' acceptance would discard them anyway. */
+        if (best >= early_stop) break;
         if (--steps == 0) break;
       }
     }
@@ -296,7 +302,8 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
                  int64_t min_pos, int64_t base, int64_t bs, int level,
                  int64_t lookback, int64_t buf_end, int32_t *lens,
                  int32_t *dists, const uint8_t *refine_mask = nullptr,
-                 int64_t cut_pos = -1, int64_t block_end = -1) {
+                 int64_t cut_pos = -1, int64_t block_end = -1,
+                 const int32_t *targets = nullptr) {
   /* refine_mask: when set (level-9 only, no skip interdependence), run the
    * search only at flagged positions; unflagged keep their incoming
    * (len, dist) — the host side of the TPU parity fallback.
@@ -404,7 +411,8 @@ void match_block(MatchTables &t, const uint8_t *buf, int64_t buf_zero,
       lazy_eval = false;
     }
     find_longest(t, buf, buf_zero, min_pos, p, q0, match_limit - p, max_chain,
-                 run_start, run_ins_tail, aux_levels, &lens[i], &dists[i]);
+                 run_start, run_ins_tail, aux_levels, &lens[i], &dists[i],
+                 (targets && refine_mask) ? int64_t(targets[i]) : INT64_MAX);
     if ((is_lazy || is_greedy) && lens[i] != 1) {
       lazy_eval = skip == 0;
       skip = lens[i];
@@ -1614,6 +1622,44 @@ int64_t tlz4_match_refine(const uint8_t *buf, int64_t buf_n, int64_t base,
   return 0;
 }
 
+int64_t tlz4_match_refine2(const uint8_t *buf, int64_t buf_n, int64_t base,
+                           int64_t bs, int64_t lookback, int64_t cut_pos,
+                           const uint8_t *mask, const int32_t *targets,
+                           int32_t *out_len, int32_t *out_dist) {
+  /* Distance-only refine: targets[i] is the certified exact max length at
+   * masked position i (the TPU length-known certificate), so the walk
+   * early-stops at its first achiever — the reference's nearest-of-max
+   * (smallz4.h:173-255 walks nearest-first and keeps the first max). */
+  if (!buf || !mask || !targets || base < 0 || bs < 0 || base + bs > buf_n ||
+      lookback > base)
+    return TLZ4_E_ARG;
+  SessionTables &s = session_tables();
+  int64_t zero = s.map(buf_n);
+  match_block(s.tables, buf, /*buf_zero=*/zero, /*min_pos=*/zero, zero + base,
+              bs, /*level=*/9, lookback, /*buf_end=*/zero + buf_n, out_len,
+              out_dist, mask, cut_pos >= 0 ? zero + cut_pos : -1,
+              /*block_end=*/-1, targets);
+  return 0;
+}
+
+int64_t tlz4_chosen(const int32_t *lens, int64_t bs, uint8_t *out_mask) {
+  /* Match starts of a DP-shortened lens array (the emitter's walk,
+   * smallz4.h:259-371): out_mask[i] = 1 iff a match is emitted at i. */
+  if (!lens || !out_mask || bs < 0) return TLZ4_E_ARG;
+  std::memset(out_mask, 0, size_t(bs));
+  int64_t n_chosen = 0;
+  for (int64_t o = 0; o < bs;) {
+    if (lens[o] >= 4) {
+      out_mask[o] = 1;
+      n_chosen++;
+      o += lens[o];
+    } else {
+      o++;
+    }
+  }
+  return n_chosen;
+}
+
 int64_t tlz4_unpack_claims(const uint32_t *bits, const int32_t *packed,
                            int64_t n_packed, int64_t n,
                            int32_t *lens, int32_t *dists) {
@@ -1629,10 +1675,11 @@ int64_t tlz4_unpack_claims(const uint32_t *bits, const int32_t *packed,
       const int b = __builtin_ctz(word);
       word &= word - 1;
       const int64_t p = base + b;
-      /* decay-fill (prev head .. p) */
+      /* decay-fill (prev head .. p); saturated heads (65535) hold flat
+       * until the next head (giant-byte-run packing) */
       for (int64_t i = (prev < 0 ? base : prev); i < p; i++) {
         const int64_t k = i - head_pos;
-        const int32_t l = len0 - int32_t(k);
+        const int32_t l = len0 == 65535 ? 65535 : len0 - int32_t(k);
         lens[i] = l >= 4 ? l : 1;
         dists[i] = l >= 4 ? dist0 : 0;
       }
@@ -1646,7 +1693,7 @@ int64_t tlz4_unpack_claims(const uint32_t *bits, const int32_t *packed,
     const int64_t from = prev < 0 ? base : prev;
     for (int64_t i = from; i < base + 32; i++) {
       const int64_t k = i - head_pos;
-      const int32_t l = len0 - int32_t(k);
+      const int32_t l = len0 == 65535 ? 65535 : len0 - int32_t(k);
       lens[i] = l >= 4 ? l : 1;
       dists[i] = l >= 4 ? dist0 : 0;
     }

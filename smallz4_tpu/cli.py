@@ -51,8 +51,9 @@ Compression levels:
 Framework extensions (beyond the reference CLI):
   --engine=E      auto | native | tpu | host | oracle
   --kernel=K      tpu device search kernel: chunk | sort | walk
-  --fast          tpu engine: keep raw device claims (skip the exact
-                  host refine; output stays valid, size near -9)
+  --unsafe-raw    tpu engine DIAGNOSTIC: keep raw device claims (skip
+                  the exact host refine; output stays a valid stream but
+                  the size may exceed -9 — not a product mode)
   --parity        tpu engine: bit-exact -9 streams (the default)
   --threads=N     host-parallel worker cap
   --block-size=N  frame block size in bytes
@@ -127,8 +128,12 @@ def main(argv: list[str] | None = None) -> int:
                 pass  # applied in the pre-scan above
             elif key == "parity" and not val:
                 parity = True
+            elif key == "unsafe-raw" and not val:
+                parity = False  # raw device claims: diagnostic only
             elif key == "fast" and not val:
-                parity = False  # raw device claims (ratio within noise)
+                error("--fast was renamed --unsafe-raw: raw device claims "
+                      "do not honor the <= -9 size contract (round-5 "
+                      "naming fix; the default --parity mode is bit-exact)")
             else:
                 error("unknown flag")
             pos += 1

@@ -42,8 +42,13 @@ LEVELS = {lv: CodecProfile(name=f"level{lv}", level=lv) for lv in range(10)}
 PROFILES = {
     **{p.name: p for p in LEVELS.values()},
     "max": CodecProfile(name="max", level=9, engine="native"),
+    # raw device claims break the <= -9 size contract: diagnostic only,
+    # named accordingly (round-5 naming fix; "turbo" now means the exact
+    # default engine)
+    "unsafe-raw": CodecProfile(name="unsafe-raw", level=9, engine="tpu",
+                               max_candidates=16, parity=False),
     "turbo": CodecProfile(name="turbo", level=9, engine="tpu",
-                          max_candidates=16, parity=False),
+                          max_candidates=16, parity=True),
     "turbo-exact": CodecProfile(name="turbo-exact", level=9, engine="tpu",
                                 max_candidates=16, parity=True),
     "legacy": CodecProfile(name="legacy", level=9, legacy=True),

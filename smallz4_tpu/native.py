@@ -100,6 +100,10 @@ def _load():
         lib.tlz4_match_block_ex2.argtypes = [c_u8p, i64, i64, i64, ctypes.c_int, i64, i64, i64, c_i32p, c_i32p]
         lib.tlz4_match_refine.restype = i64
         lib.tlz4_match_refine.argtypes = [c_u8p, i64, i64, i64, i64, i64, c_u8p, c_i32p, c_i32p]
+        lib.tlz4_match_refine2.restype = i64
+        lib.tlz4_match_refine2.argtypes = [c_u8p, i64, i64, i64, i64, i64, c_u8p, c_i32p, c_i32p, c_i32p]
+        lib.tlz4_chosen.restype = i64
+        lib.tlz4_chosen.argtypes = [c_i32p, i64, c_u8p]
         lib.tlz4_estimate_costs.restype = i64
         lib.tlz4_estimate_costs.argtypes = [c_i32p, c_i32p, i64]
         lib.tlz4_unpack_claims.restype = i64
@@ -401,6 +405,36 @@ def match_refine(buf, base: int, bs: int, lookback: int,
                               _ptr(m), _ptr32(lens), _ptr32(dists))
     if r < 0:
         _raise(r)
+
+
+def match_refine_dist(buf, base: int, bs: int, lookback: int,
+                      mask: np.ndarray, targets: np.ndarray,
+                      lens: np.ndarray, dists: np.ndarray,
+                      cut_pos: int = -1) -> None:
+    """Distance-only refine at masked positions: ``targets`` holds each
+    position's certified exact max length (the device LK certificate);
+    the walk early-stops at the first achiever = the reference's
+    nearest-of-max.  Writes lens (== targets) and dists in place."""
+    lib = _load()
+    b = _u8(buf)
+    m = np.ascontiguousarray(mask, dtype=np.uint8)
+    t = np.ascontiguousarray(targets, dtype=np.int32)
+    r = lib.tlz4_match_refine2(_ptr(b), len(b), base, bs, lookback, cut_pos,
+                               _ptr(m), _ptr32(t), _ptr32(lens), _ptr32(dists))
+    if r < 0:
+        _raise(r)
+
+
+def chosen_mask(lens: np.ndarray) -> np.ndarray:
+    """Match starts of a DP-shortened lens array (the emitter's walk):
+    bool mask, True where a match is emitted."""
+    lib = _load()
+    assert lens.dtype == np.int32
+    out = np.zeros(len(lens), np.uint8)
+    r = lib.tlz4_chosen(_ptr32(lens), len(lens), _ptr(out))
+    if r < 0:
+        _raise(r)
+    return out.astype(bool)
 
 
 def unpack_claims(bits: np.ndarray, packed: np.ndarray, n: int):

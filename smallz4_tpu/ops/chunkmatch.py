@@ -9,8 +9,11 @@ compile budget).  This module restructures the search around *chunks*:
 
   1. **sort once per chunk** — every 64 Ki-position chunk is sorted a
      single time (unrolled 2^16 bitonic, ops/sortnet.py) into true
-     byte-lexicographic 12-byte suffix order: key = (bytes 0..3,
-     bytes 4..7, bytes 8..11, each packed big-endian, then pos).
+     byte-lexicographic 20-byte suffix order: key = (bytes 0..19 packed
+     big-endian as five words, then pos).  Round 5 deepened the key from
+     12 to 20 bytes: the payload words were already riding through the
+     sort, so the extra depth costs only lex-compare work while making
+     equal-prefix groups at every depth ≤ 20 contiguous and pos-sorted.
   2. **merge, don't re-sort** — the 64 KB window means a chunk's
      candidates live in itself and its left neighbor; one bitonic merge
      (flip + 17 stages) of the two already-sorted record sets replaces a
@@ -31,29 +34,35 @@ compile budget).  This module restructures the search around *chunks*:
      match lengths; distance-1 byte runs resolve the same way.
 
 Record planes (6 x int32 per record):
-  k1, e1, e2 = bytes pos+0..11 packed big-endian (sort keys: byte 0 is
-               the most significant, so uint32 order == byte order)
+  k1, e1, e2,
+  x1, x2     = bytes pos+0..19 packed big-endian (all five are sort
+               keys: byte 0 is the most significant, so uint32 order ==
+               byte order; the same words double as the byte-verify
+               reach)
   combo      = invalid(bit31) | pos (bits [16:0]) — final sort key;
-               bit31 sinks non-candidates to their 12-byte group's tail
-  x1, x2     = bytes pos+12..19 big-endian (verification payload)
+               bit31 sinks non-candidates to their 20-byte group's tail
 
-Convergence certificate (bit-parity contract, reference nearest-first
-semantics) — the *edge-LCP rule*.  In suffix order the capped LCP
-clcp(a, b) = min(LCP(a, b), 12) is non-increasing as b moves away from
-a (the suffix-array min-property, valid for a 12-byte-truncated
-lexicographic sort).  Hence for a claim of length L at p:
+Convergence certificates (bit-parity contract, reference nearest-first
+semantics; full derivations in docs/PARITY.md):
 
-  * every unseen record beyond the contiguous +-8 window shares at most
-    clcp(p, edge) bytes with p, where edge is the window's outermost
-    record; if clcp(p, edge) < clip(L, 4, 12) on BOTH sides, no unseen
-    candidate can beat the claim or tie it at a nearer distance;
-  * claims with L < 20 are byte-verified exactly (key + payload words),
-    claims at the block cap are exact by the cap clamp;
+  * *edge-LCP rule*: in suffix order the capped LCP clcp(a, b) =
+    min(LCP(a, b), 20) is non-increasing as b moves away from a (the
+    suffix-array min-property for a 20-byte-truncated sort), so if
+    clcp(p, edge) < clip(L, 4, 20) on BOTH sides of the contiguous +-8
+    window, no unseen candidate can beat the claim or tie it nearer;
+  * *split edge rule* (length-only): clcp(p, edge) < clip(L+1, 4, 20)
+    certifies the LENGTH alone — a tie at exactly L only spoils the
+    distance, which the DP never consumes (see probe_pair's LK block);
+  * *backward adoption + induction*: length/full exactness propagates
+    backward through decay chains from certified tails;
+  * *nearest-sharer gap rule*: equal-key groups are pos-sorted, so the
+    -1 neighbor is the nearest >=20-byte sharer; claim_d == gap plus a
+    known length >= 20 pins the nearest achiever.
 
-so a position passing the edge rule with L < 20 (or L == cap) has
-provably the reference's (max len, nearest max achiever) bit-for-bit.
-Everything else is refined on the host in parity mode
-(native.match_refine).
+Positions with uncertified LENGTH are refined on the host pre-DP
+(native.match_refine); certified-length positions with uncertified
+distance are fixed post-DP only where chosen (native.match_refine_dist,
+early-stop walk).
 """
 from __future__ import annotations
 
@@ -80,8 +89,12 @@ NEAR_PROBES = tuple(range(1, 9))
 EDGE = NEAR_PROBES[-1]   # contiguous-window edge (the certificate anchor)
 FAR_PROBES = (12, 16, 24, 32, 48, 64)
 PROBES = NEAR_PROBES + FAR_PROBES
-KEY_REACH = 12           # bytes covered by the lexicographic sort key
-EXT_REACH = 20           # byte-verified LCP reach (3 key + 2 payload words)
+KEY_REACH = 20           # bytes covered by the lexicographic sort key
+                         # (round 5: all five words are keys — same plane
+                         # moves as the r4 12-byte sort, only the lex
+                         # compare deepens; measured -3pp refine volume
+                         # on real files, exp/cheap_rules_sim.py)
+EXT_REACH = 20           # byte-verified LCP reach (= the key words)
 CHAIN_STEPS = 16         # doubling covers runs/matches to 64 Ki
 
 
@@ -110,28 +123,36 @@ def make_records(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
     pos = jnp.arange(chunk, dtype=jnp.int32)
     valid = (pos >= valid_lo) & (pos < valid_hi)
     combo = jnp.where(valid, pos, pos | INVALID_BIT)
-    return k1, e1, e2, combo.view(jnp.uint32), x1, x2
+    return k1, e1, e2, x1, x2, combo.view(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def sort_chunk(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
-    """Sort one chunk's records into byte-lexicographic 12-byte suffix
-    order: (bytes 0..11, invalid flag, pos)."""
-    k1, e1, e2, combo, x1, x2 = make_records(buf, valid_lo, valid_hi,
+@functools.partial(jax.jit, static_argnames=("chunk", "lean"))
+def sort_chunk(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK,
+               lean: bool = False):
+    """Sort one chunk's records into byte-lexicographic 20-byte suffix
+    order: (bytes 0..19, invalid flag, pos) — every record word is a sort
+    key, so equal-prefix groups at ALL depths up to 20 are contiguous
+    and pos-sorted (the nearest-sharer gap rule's premise).
+
+    ``lean=True`` selects the compact (fori_loop) sort network: ~4x
+    slower at runtime but with O(log n) generated code — the cold-start
+    variant (its Mosaic compile is a fraction of the unrolled network's;
+    the pipeline swaps to the fast variant once that compile lands)."""
+    k1, e1, e2, x1, x2, combo = make_records(buf, valid_lo, valid_hi,
                                              chunk=chunk)
-    # combo embeds pos -> the 4-plane key is distinct per record:
+    # combo embeds pos -> the 6-plane key is distinct per record:
     # unique=True skips the dead pos-tiebreak compare in every stage
-    return sortnet.sort_records(k1, e1, e2, combo,
-                                x1.view(jnp.int32), x2.view(jnp.int32),
-                                n_keys=4, unique=True)
+    return sortnet.sort_records(k1, e1, e2, x1, x2, combo,
+                                n_keys=6, unique=True,
+                                unroll=False if lean else None)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def empty_halo(chunk: int = CHUNK):
+@functools.partial(jax.jit, static_argnames=("chunk", "lean"))
+def empty_halo(chunk: int = CHUNK, lean: bool = False):
     """All-invalid sorted halo planes (stream start / legacy block start:
     no history carries in)."""
     return sort_chunk(jnp.zeros(chunk + LOOK, jnp.uint8),
-                      jnp.int32(0), jnp.int32(0), chunk=chunk)
+                      jnp.int32(0), jnp.int32(0), chunk=chunk, lean=lean)
 
 
 def _lcp_be(xors) -> jnp.ndarray:
@@ -153,22 +174,26 @@ def _probe_kernel(chunk, refs):
     """Neighbor probes over merged suffix-ordered planes.
 
     in:  scal (SMEM (1,3): cut_gram, cut_pos, match_limit),
-         k1, e1, e2, combo, x1, x2
+         k1, e1, e2, x1, x2, combo
     out: payload (best_len<<16 | best_dist; len clamped to the block cap
          BEFORE the nearest tie-break — reference cap-then-tie
          semantics),
-         key ((raw - chunk)<<3 | flags for current-chunk records, sunk to
+         key ((raw - chunk)<<4 | flags for current-chunk records, sunk to
          the back otherwise; flags bit0 length-truncated (= EXT_REACH
-         with cap beyond it), bit1 edge-LCP certificate failed) — two
-         planes so the compact router and the position unsort move half
-         the data
+         with cap beyond it), bit1 edge-LCP certificate failed, bit2
+         length-only edge certificate failed (split rule: a tie at
+         exactly L only spoils the distance, so length is exact iff
+         nothing unseen shares L+1), bit3 claim distance == nearest
+         >=12-byte-sharer gap (the -1 in-group neighbor: equal-key runs
+         are pos-sorted, so it IS the nearest sharer)) — two planes so
+         the compact router and the position unsort move half the data
     """
-    (scal_ref, k1_ref, e1_ref, e2_ref, combo_ref, x1_ref, x2_ref,
+    (scal_ref, k1_ref, e1_ref, e2_ref, x1_ref, x2_ref, combo_ref,
      payload_ref, key_ref) = refs
     cut_gram, cut_pos = scal_ref[0, 0], scal_ref[0, 1]
     match_limit = scal_ref[0, 2]
     k1, e1, e2 = k1_ref[:], e1_ref[:], e2_ref[:]
-    combo, x1, x2 = combo_ref[:], x1_ref[:], x2_ref[:]
+    x1, x2, combo = x1_ref[:], x2_ref[:], combo_ref[:]
     rows = k1.shape[0]
     n = rows * LANES
     slot = sortnet._flat_iota(rows)
@@ -184,6 +209,7 @@ def _probe_kernel(chunk, refs):
     best_dist = jnp.zeros_like(k1)
     elcp_lo = jnp.full_like(k1, -1)   # capped LCP with the -EDGE record
     elcp_hi = jnp.full_like(k1, -1)   # capped LCP with the +EDGE record
+    gap = jnp.zeros_like(k1)          # distance to the -1 >=12-sharer
 
     for sk in PROBES:
         for sgn in (1, -1):
@@ -209,6 +235,12 @@ def _probe_kernel(chunk, refs):
                     elcp_lo = e12
             nb_raw = nb_combo & POS_MASK
             d = raw - nb_raw
+            if sk == 1 and sgn == -1:
+                # nearest >=12-byte sharer: the -1 neighbor when it
+                # shares the full sort key (groups are pos-sorted, valid
+                # records ahead of invalid ones)
+                gap = jnp.where(in_range & (nb_combo >= 0) & (d >= 1)
+                                & (lcp >= KEY_REACH), d, 0)
             ok = (in_range & (nb_combo >= 0) & (d >= 1)
                   & (d <= fmt.MAX_DISTANCE)
                   & ~((nb_k1 == cut_gram) & (nb_raw < cut_pos)))
@@ -225,13 +257,23 @@ def _probe_kernel(chunk, refs):
     # byte-verified (L < EXT_REACH) or clamped at the block cap.
     th = jnp.clip(best_len, fmt.MIN_MATCH, KEY_REACH)
     cert_fail = (elcp_lo >= th) | (elcp_hi >= th)
+    # split rule (length-only): an unseen sharer of exactly L can tie but
+    # not beat — the LENGTH is exact iff nothing unseen shares L+1.
+    # Only decidable below the key reach.
+    th_len = jnp.clip(best_len + 1, fmt.MIN_MATCH, KEY_REACH)
+    len_fail = ((elcp_lo >= th_len) | (elcp_hi >= th_len)
+                | (best_len >= KEY_REACH))
+    gap_hit = (best_dist == gap) & (gap >= 1)
     trunc = (best_len >= EXT_REACH) & (cap > EXT_REACH)
-    flags = trunc.astype(jnp.int32) | (cert_fail.astype(jnp.int32) << 1)
+    flags = (trunc.astype(jnp.int32)
+             | (cert_fail.astype(jnp.int32) << 1)
+             | (len_fail.astype(jnp.int32) << 2)
+             | (gap_hit.astype(jnp.int32) << 3))
     payload_ref[:] = (best_len << 16) | best_dist
-    # current-chunk records carry (local pos << 3) | flags; halo records
-    # sink behind them (the compact keeps keys < 8*chunk)
-    key_ref[:] = jnp.where(local >= 0, (local << 3) | flags,
-                           jnp.int32(8 * chunk))
+    # current-chunk records carry (local pos << 4) | flags; halo records
+    # sink behind them (the compact keeps keys < 16*chunk)
+    key_ref[:] = jnp.where(local >= 0, (local << 4) | flags,
+                           jnp.int32(16 * chunk))
 
 
 def _prefix_count(keep, slot, rows):
@@ -279,13 +321,13 @@ def _bitmask_words(flag, slot, rows):
 
 
 def _compact_kernel(chunk, refs):
-    """Pack records of the *current* chunk (key < 8*chunk) to the front,
-    preserving order.  Two planes: key ((pos<<3)|flags), payload
+    """Pack records of the *current* chunk (key < 16*chunk) to the front,
+    preserving order.  Two planes: key ((pos<<4)|flags), payload
     (len<<16|dist)."""
     key_ref, payload_ref, okey_ref, opay_ref = refs
     key = key_ref[:]
     rows = key.shape[0]
-    keep = key < 8 * chunk
+    keep = key < 16 * chunk
     slot = sortnet._flat_iota(rows)
     (okey, opay), _ = _route_front(keep, slot, rows, [key, payload_ref[:]])
     okey_ref[:] = okey
@@ -314,29 +356,35 @@ def _pack_kernel(chunk, refs):
     """Head/delta packing of the position-order match arrays — shrinks the
     device->host result traffic ~6x (the tunnel/PCIe link prices every
     byte).  A position is *predicted* when its claim continues the
-    predecessor's match: (len-1, same dist) after len >= 5, else literal
-    (1, 0).  Unpredicted positions are heads; we ship a head bitmask
-    (1 bit/pos) plus the compacted (len16 | dist16) head words, plus the
-    convergence certificate as a second bitmask.
+    predecessor's match: (len-1, same dist) after len >= 5, or (65535,
+    same dist) after a saturated 65535 claim (giant byte runs would
+    otherwise make every position a head and overflow HEAD_CAP), else
+    literal (1, 0).  Unpredicted positions are heads; we ship a head
+    bitmask (1 bit/pos) plus the compacted (len16 | dist16) head words,
+    plus two certificate bitmasks.
 
-    in:  lens, dists, conv (position order, int32)
+    in:  lens, dists, conv, lk (position order, int32)
     out: bits (chunk/32 words, bit i of word w = head at 32w+i),
          packed (len16|dist16 at head rank), n_heads (lane 0),
-         conv_bits (chunk/32 words, bit = converged)
+         conv_bits (chunk/32 words, bit = fully converged),
+         lk_bits (chunk/32 words, bit = length-known)
     """
-    len_ref, dist_ref, conv_ref, bits_ref, packed_ref, count_ref, cbits_ref = refs
+    (len_ref, dist_ref, conv_ref, lk_ref, bits_ref, packed_ref, count_ref,
+     cbits_ref, kbits_ref) = refs
     lens, dists = len_ref[:], dist_ref[:]
     rows = lens.shape[0]
     slot = sortnet._flat_iota(rows)
 
     prev_len = _flat_shift_neg(lens, 1)
     prev_dist = _flat_shift_neg(dists, 1)
-    pred_len = jnp.where(prev_len >= 5, prev_len - 1, 1)
+    pred_len = jnp.where(prev_len == 65535, 65535,
+                         jnp.where(prev_len >= 5, prev_len - 1, 1))
     pred_dist = jnp.where(prev_len >= 5, prev_dist, 0)
     head = (lens != pred_len) | (dists != pred_dist) | (slot == 0)
 
     bits_ref[:] = _bitmask_words(jnp.where(head, 1, 0), slot, rows)
     cbits_ref[:] = _bitmask_words(conv_ref[:] & 1, slot, rows)
+    kbits_ref[:] = _bitmask_words(lk_ref[:] & 1, slot, rows)
 
     # --- compacted head payload: len16 | dist16 ---
     payload = (jnp.minimum(lens, 65535) << 16) | (dists & 0xFFFF)
@@ -349,14 +397,16 @@ def _pack_kernel(chunk, refs):
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
 def pack_results(lens: jnp.ndarray, dists: jnp.ndarray, conv: jnp.ndarray,
-                 chunk: int = CHUNK):
-    """Pack (lens, dists, conv) into (head bitmask words, compacted head
-    words, n_heads, conv bitmask words).  Host inverse: unpack_results."""
-    bits, packed, count, cbits = _pallas_planes(
+                 lk: jnp.ndarray, chunk: int = CHUNK):
+    """Pack (lens, dists, conv, lk) into (head bitmask words, compacted
+    head words, n_heads, conv bitmask words, lk bitmask words).  Host
+    inverse: unpack_results."""
+    bits, packed, count, cbits, kbits = _pallas_planes(
         functools.partial(_pack_kernel, chunk),
         [lens.astype(jnp.int32), dists.astype(jnp.int32),
-         conv.astype(jnp.int32)], 4)
-    return bits[: chunk // 32], packed, count[0], cbits[: chunk // 32]
+         conv.astype(jnp.int32), lk.astype(jnp.int32)], 5)
+    return (bits[: chunk // 32], packed, count[0], cbits[: chunk // 32],
+            kbits[: chunk // 32])
 
 
 def unpack_bits_rows(bits, chunk):
@@ -396,7 +446,10 @@ def unpack_rows(bits, packed, chunk: int = CHUNK):
     start = np.maximum.accumulate(np.where(head, pos, 0), axis=1)
     pk = np.asarray(packed)
     vals = np.take_along_axis(pk, np.minimum(seg, pk.shape[1] - 1), axis=1)
-    fill = ((vals >> 16) & 0xFFFF) - (pos - start)
+    base = (vals >> 16) & 0xFFFF
+    fill = base - (pos - start)
+    # saturated heads (65535) predict 65535 until the next head
+    fill = np.where(base == 65535, 65535, fill)
     lens = np.where(fill >= fmt.MIN_MATCH, fill, 1).astype(np.int32)
     dists = np.where(lens >= fmt.MIN_MATCH, vals & 0xFFFF, 0).astype(np.int32)
     return lens, dists
@@ -422,7 +475,8 @@ GROUP = 64          # chunks per fused scan call (4 MB at CHUNK = 64 Ki):
                     # the tunnel/PCIe link prices round-trips, not just bytes
 
 
-@functools.partial(jax.jit, static_argnames=("n_chunks", "head_cap", "chunk"))
+@functools.partial(jax.jit, static_argnames=("n_chunks", "head_cap", "chunk",
+                                             "lean"))
 def match_chunks(
     halo,                  # sorted planes of the chunk preceding bufs[0]
     bufs,                  # uint8[n_chunks, chunk + LOOK]
@@ -434,6 +488,7 @@ def match_chunks(
     n_chunks: int = GROUP,
     head_cap: int = HEAD_CAP,
     chunk: int = CHUNK,
+    lean: bool = False,    # compact sort networks (cold-start variant)
 ):
     """The fused device encode path: scan ``n_chunks`` consecutive chunks,
     each sorted once and probed against its predecessor's already-sorted
@@ -441,8 +496,8 @@ def match_chunks(
 
     Carry = the current chunk's sorted planes (device-resident across
     calls, so a whole stream chains through with zero host round-trips).
-    Returns (next_halo, (bits, packed[:head_cap], n_heads, conv_bits))
-    with the ys stacked over chunks.  Scalar ``cut_gram``/``cut_pos``
+    Returns (next_halo, (bits, packed[:head_cap], n_heads, conv_bits,
+    lk_bits)) with the ys stacked over chunks.  Scalar ``cut_gram``/``cut_pos``
     apply to chunk 0 only (block starts align with call boundaries; the
     pipeline contract); int32[n_chunks] arrays give every chunk its own
     boundary cut (the sharded driver's contract, where one call spans
@@ -459,12 +514,13 @@ def match_chunks(
 
     def step(carry, xs):
         buf, ch, vh, ml, cg, cp = xs
-        cur = sort_chunk(buf, jnp.int32(0), ch, chunk=chunk)
-        lens, dists, conv = probe_pair(
-            carry, cur, cg, cp, jnp.int32(0), vh, ml, chunk=chunk)
-        bits, packed, n_heads, cbits = pack_results(
-            lens, dists, conv, chunk=chunk)
-        return cur, (bits, packed[:head_cap], n_heads, cbits)
+        cur = sort_chunk(buf, jnp.int32(0), ch, chunk=chunk, lean=lean)
+        lens, dists, conv, lk = probe_pair(
+            carry, cur, cg, cp, jnp.int32(0), vh, ml, chunk=chunk,
+            lean=lean)
+        bits, packed, n_heads, cbits, kbits = pack_results(
+            lens, dists, conv, lk, chunk=chunk)
+        return cur, (bits, packed[:head_cap], n_heads, cbits, kbits)
 
     return jax.lax.scan(
         step, halo, (bufs, cand_hi, valid_hi, match_limit, cgs, cps))
@@ -476,10 +532,10 @@ def match_chunks_raw(
     n_chunks: int = GROUP, chunk: int = CHUNK,
 ):
     """match_chunks without the head/delta pack: returns the raw claim
-    planes (lens u16, dists u16, conv bool) per chunk, kept ON DEVICE —
-    the front half of the device-resident encode (match -> ops.parse DP
-    -> ops.emit), where claims feed the device DP instead of crossing
-    the host link."""
+    planes (lens u16, dists u16, conv bool, lk bool) per chunk, kept ON
+    DEVICE — the front half of the device-resident encode (match ->
+    ops.parse DP -> ops.emit), where claims feed the device DP instead
+    of crossing the host link."""
     cut_gram = jnp.asarray(cut_gram, jnp.int32)
     cut_pos = jnp.asarray(cut_pos, jnp.int32)
     if cut_gram.ndim == 1:
@@ -492,9 +548,9 @@ def match_chunks_raw(
     def step(carry, xs):
         buf, ch, vh, ml, cg, cp = xs
         cur = sort_chunk(buf, jnp.int32(0), ch, chunk=chunk)
-        lens, dists, conv = probe_pair(
+        lens, dists, conv, lk = probe_pair(
             carry, cur, cg, cp, jnp.int32(0), vh, ml, chunk=chunk)
-        return cur, (lens, dists, conv)
+        return cur, (lens, dists, conv, lk)
 
     return jax.lax.scan(
         step, halo, (bufs, cand_hi, valid_hi, match_limit, cgs, cps))
@@ -507,9 +563,9 @@ def _shift_up(x: jnp.ndarray, s: int, fill):
     return jnp.concatenate([x[s:], jnp.full((s,), fill, x.dtype)])
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
+@functools.partial(jax.jit, static_argnames=("chunk", "lean"))
 def probe_pair(
-    halo,                 # (k1, combo, e1, e2) sorted planes of chunk i-1
+    halo,                 # (k1, e1, e2, x1, x2, combo) sorted planes of chunk i-1
     cur,                  # same for chunk i
     cut_gram,             # int32: gram at the boundary-cut position
     cut_pos,              # int32: local pos of the cut in the halo (-1: off)
@@ -517,16 +573,22 @@ def probe_pair(
     valid_hi,             # int32: one past last candidate pos of chunk i
     match_limit,          # int32: block match cap in chunk-i local coords
     chunk: int = CHUNK,
+    lean: bool = False,   # compact sort networks (cold-start variant)
 ):
     """Match search for every position of chunk i against the merged
     (chunk i-1, chunk i) candidate set.  Returns (lens u16, dists u16,
-    conv bool) of shape [CHUNK] in position order."""
-    # rebase chunk i positions to [chunk, 2*chunk) and merge
-    cur_combo = (cur[3].view(jnp.int32) + chunk).view(jnp.uint32)
+    conv bool, lk bool) of shape [CHUNK] in position order — ``conv``
+    is the full (len + nearest-dist) certificate, ``lk`` the length-only
+    certificate (see the LK block below: DP parity needs only lengths;
+    distances are fixed post-DP at chosen positions)."""
+    # rebase chunk i positions to [chunk, 2*chunk) and merge; combo is
+    # the final key, so halo records keep sorting ahead of current-chunk
+    # records inside equal-20-byte groups (pos order preserved)
+    cur_combo = (cur[5].view(jnp.int32) + chunk).view(jnp.uint32)
     planes = [jnp.concatenate([h, c]) for h, c in
-              zip(halo, (cur[0], cur[1], cur[2], cur_combo, cur[4],
-                         cur[5]))]
-    merged = sortnet.merge_sorted(*planes, n_keys=4, unique=True)
+              zip(halo, (cur[0], cur[1], cur[2], cur[3], cur[4],
+                         cur_combo))]
+    merged = sortnet.merge_sorted(*planes, n_keys=6, unique=True)
 
     scal = jnp.stack([
         jnp.asarray(cut_gram, jnp.int32), jnp.asarray(cut_pos, jnp.int32),
@@ -541,10 +603,11 @@ def probe_pair(
         functools.partial(_compact_kernel, chunk), [p_key, p_pay], 2)
     c_key, c_pay = c_key[:chunk], c_pay[:chunk]
 
-    # unsort to position order ((key >> 3) is a permutation of [0, CHUNK))
+    # unsort to position order ((key >> 4) is a permutation of [0, CHUNK))
     s_key, s_pay = sortnet.sort_records(c_key.view(jnp.uint32), c_pay,
-                                        n_keys=1, unique=True)
-    flags0 = (s_key & 7).astype(jnp.int32)
+                                        n_keys=1, unique=True,
+                                        unroll=False if lean else None)
+    flags0 = (s_key & 15).astype(jnp.int32)
     lens0 = (s_pay >> 16) & 0xFFFF
     dists0 = s_pay & 0xFFFF
 
@@ -569,6 +632,8 @@ def probe_pair(
 
     truncated = (flags0 & 1) != 0
     cert_fail = (flags0 & 2) != 0
+    len_fail = (flags0 & 4) != 0
+    gap_hit = (flags0 & 8) != 0
     conv = (~truncated & ~cert_fail) | ~valid
     # a d=1 claim at the true block cap is complete and provably the
     # nearest achiever; farther at-cap claims stay unconverged (the
@@ -603,7 +668,54 @@ def probe_pair(
         s *= 2
     conv = c
 
+    # --- length-known certificate (LK): the length/distance split ---
+    # The optimal parser consumes only LENGTHS (an LZ4 match costs the
+    # same bytes at any distance; the sole distance-sensitive DP rule is
+    # the MaxSameLetter run shortcut, excluded below), so DP bit-parity
+    # needs exact lengths everywhere but exact nearest-of-max distances
+    # only at DP-chosen positions (fixed post-DP by an early-stop host
+    # walk).  Anchors — positions whose claim LENGTH is provably the
+    # reference's max:
+    #   * conv (fully exact),
+    #   * split edge rule: elcp < clip(L+1, 4, 12) on both sides means
+    #     nothing unseen shares L+1 bytes — a tie at exactly L spoils
+    #     only the distance (byte-verified claims below the doubling
+    #     reach and below cap),
+    #   * at-cap claims: the claim's own doubling-verified candidate
+    #     reaches the cap, so the clamped length is exact.
+    # Adoption (candidate-shift lemma): L*(p) <= L*(p+1) + 1 whenever
+    # L*(p) >= 2 — any achiever r of p shifts to candidate r+1 of p+1
+    # with the same in-window distance.  Claims are genuine matches, so
+    # claim(p) == claim(p+1) + 1 with LK(p+1) forces L*(p) == claim(p).
+    # Guards: below cap (cap clamping breaks the shift), below
+    # MaxSameLetter (the DP run shortcut reads the distance there), and
+    # no live boundary cut (a cut on gram(r+1) breaks the shift lemma).
+    msl_ok = lens2 < fmt.MAX_SAME_LETTER
+    lenok = ~len_fail & ~truncated & (lens2 < cap) & match
+    anchors = (conv | (lenok & msl_ok)
+               | (match & (lens2 >= cap) & msl_ok & (cut_pos < 0)))
+    adopt_ok = (match & (lens2 >= fmt.MIN_MATCH + 1) & (lens2 < cap)
+                & msl_ok
+                & (_shift_up(lens2, 1, 0) == lens2 - 1)
+                & (cut_pos < 0))
+    lk = anchors
+    ok = adopt_ok
+    s = 1
+    for _ in range(CHAIN_STEPS):
+        lk = lk | (ok & _shift_up(lk, s, False))
+        ok = ok & _shift_up(ok, s, False)
+        s *= 2
+
+    # nearest-sharer distance rule: with LK and L >= 12, any candidate
+    # nearer than the -1 in-group gap shares < 12 <= L bytes and cannot
+    # achieve the max; the claim's own candidate does — so claim_d ==
+    # gap IS the nearest achiever.  Lifts LK to full convergence.
+    conv = conv | (lk & match & (lens2 >= KEY_REACH) & gap_hit
+                   & (cut_pos < 0))
+    lk = lk | conv
+
     saturated = lens > 65535
     conv = conv & ~saturated
+    lk = lk & ~saturated
     return (jnp.minimum(lens, 65535).astype(jnp.uint16),
-            dists.astype(jnp.uint16), conv)
+            dists.astype(jnp.uint16), conv, lk)

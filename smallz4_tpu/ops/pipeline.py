@@ -28,6 +28,54 @@ def _blocks(n: int, block_size: int):
     return [(i, min(i + block_size, n)) for i in range(0, n, block_size)]
 
 
+def _deep_run_rule(ctxb, base_r, bs, lens, dists, conv, lk):
+    """Host certificate for giant byte runs: when a position's whole 64 KB
+    window lies inside one equal-byte run, every window candidate ties at
+    e = min(run_rest, cap) and the reference keeps the d=1 achiever —
+    except at the single shortcut-lapse position e == MaxSameLetter-1,
+    where the reference's insert-skip (smallz4.h:631-643: run interiors
+    are never inserted) makes the outcome depend on distant inserts; that
+    one position stays refined.  Exact values need no device claim at
+    all: run extents come from the raw bytes.  Guards: the position must
+    also clear the block-boundary replay/cut region (>= 64 KB + 12 into
+    the block).  Validated against the exact matcher in
+    exp/cheap_rules_sim.py (V1) and tests/test_chunkmatch.py."""
+    a = ctxb
+    n_ctx = len(a)
+    if n_ctx == 0:
+        return
+    new = np.empty(n_ctx, bool)
+    new[0] = True
+    np.not_equal(a[1:], a[:-1], out=new[1:])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n_ctx)
+    if int((ends - starts).max()) <= fmt.MAX_DISTANCE:
+        return  # no run can contain a whole window
+    rid = np.cumsum(new, dtype=np.int32) - 1
+    sl = slice(base_r, base_r + bs)
+    rs = starts[rid[sl]]
+    re_ = ends[rid[sl]]
+    i = np.arange(bs, dtype=np.int64)
+    j = base_r + i
+    capv = np.maximum(bs - fmt.BLOCK_END_LITERALS - i, 0)
+    # rs is clamped at the context start, which only under-reports run
+    # depth: sound (misses fall through to the refine path)
+    deep = ((j - rs >= fmt.MAX_DISTANCE)
+            & (i >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH))
+    e = np.minimum(re_ - j, capv)
+    ok = deep & (e != fmt.MAX_SAME_LETTER - 1)
+    if not ok.any():
+        return
+    m4 = ok & (e >= fmt.MIN_MATCH)
+    lens[m4] = e[m4]
+    dists[m4] = 1
+    m1 = ok & (e < fmt.MIN_MATCH)
+    lens[m1] = 1
+    dists[m1] = 0
+    conv[ok] = True
+    lk[ok] = True
+
+
 def compress(
     data,
     level: int = 9,
@@ -139,7 +187,7 @@ def compress(
     stages: dict = {}
     if kernel == "chunk":
         _compress_chunked(out, data, vdata, d, blocks, legacy, parity,
-                          native, stages, progress=progress)
+                          native, stages, progress=progress, on_tpu=on_tpu)
     else:
         WINDOW = 8  # blocks (~32 MB of input at the default block size)
         for w0 in range(0, len(blocks), WINDOW):
@@ -166,8 +214,51 @@ def compress(
     return bytes(out)
 
 
+import threading as _threading_mod
+
+#: fast-variant (unrolled sort) scan compiled/loaded and ready
+_FAST_READY = _threading_mod.Event()
+_WARM_LOCK = _threading_mod.Lock()
+_WARM_STARTED = False
+
+
+def _warm_fast_async(dev):
+    """Compile (or cache-load) the fast unrolled-scan variant in the
+    background; the foreground can dispatch with the compact (lean)
+    variant meanwhile and swap once this lands (VERDICT r4 #8: the
+    cold-start story).  One attempt per process."""
+    global _WARM_STARTED
+    with _WARM_LOCK:
+        if _WARM_STARTED:
+            return
+        _WARM_STARTED = True
+
+    def work():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            from . import chunkmatch as cm
+
+            G, CH = cm.GROUP, cm.CHUNK
+            halo = jax.device_put(cm.empty_halo(chunk=CH), dev)
+            bufs = jax.device_put(
+                jnp.zeros((G, CH + cm.LOOK), jnp.uint8), dev)
+            z = jax.device_put(jnp.zeros(G, jnp.int32), dev)
+            halo2, _ys = cm.match_chunks(
+                halo, bufs, z, z, z, jnp.int32(0), jnp.int32(-1),
+                n_chunks=G, head_cap=cm.HEAD_CAP, chunk=CH)
+            jax.block_until_ready(halo2)
+            _FAST_READY.set()
+        except Exception:
+            pass  # foreground stays on its current variant
+
+    _threading_mod.Thread(target=work, daemon=True,
+                          name="smallz4-fast-warm").start()
+
+
 def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
-                      stages, progress=None):
+                      stages, progress=None, on_tpu=False):
     """Chunk-engine stream driver: one fused device scan per GROUP chunks;
     within a block the scan carries each chunk's sorted planes as the next
     chunk's halo (zero host round-trips on the search's critical path).
@@ -182,6 +273,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     every block starts at a scan-call boundary and the boundary cut binds
     to that call's chunk 0.
     """
+    import os as _os
     import time as _time
 
     import jax
@@ -200,12 +292,31 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
 
     count_lock = _threading.Lock()  # finish() runs in the worker pool
 
+    # cold-start race (VERDICT r4 #8): on real hardware, try to get the
+    # fast unrolled-scan variant (background compile / cache load) while
+    # being ready to dispatch the compact O(log n)-code variant instead —
+    # identical results, ~4x slower sort, fraction of the compile time.
+    # Modes: auto (race), fast (today's behavior), lean (force compact).
+    cold_mode = _os.environ.get("SMALLZ4_TPU_COLD_START", "auto")
+    lean_active = False
+    if cold_mode == "lean":
+        lean_active = True
+    elif cold_mode == "auto" and on_tpu and not _FAST_READY.is_set():
+        _warm_fast_async(devices[0])
+        wait_s = float(_os.environ.get("SMALLZ4_TPU_FAST_WAIT_S", "75"))
+        _FAST_READY.wait(wait_s)
+        lean_active = not _FAST_READY.is_set()
+
+    def _lean_now() -> bool:
+        # swap to the fast variant as soon as its compile lands
+        return lean_active and not _FAST_READY.is_set()
+
     t0 = _time.perf_counter()
 
-    def block_halo(start, dev):
+    def block_halo(start, dev, lean):
         """Sorted halo planes for the block at ``start``, on ``dev``."""
         if legacy or (start == 0 and not d):
-            return jax.device_put(cm.empty_halo(chunk=CH), dev)
+            return jax.device_put(cm.empty_halo(chunk=CH, lean=lean), dev)
         hb = np.zeros(CH + cm.LOOK, np.uint8)
         if start == 0:  # dictionary tail, right-aligned (virtual prefix)
             lo_valid = CH - d
@@ -217,7 +328,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         if take > 0:
             hb[CH : CH + take] = arr[start : start + take]
         return cm.sort_chunk(jax.device_put(hb, dev), jnp.int32(lo_valid),
-                             jnp.int32(CH), chunk=CH)
+                             jnp.int32(CH), chunk=CH, lean=lean)
 
     def dispatch_block(bi, start, end):
         """Queue every scan of one block on its round-robin device."""
@@ -225,7 +336,8 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         bs = end - start
         n_groups = -(-bs // (G * CH))
         block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
-        halo = block_halo(start, dev)
+        lean = _lean_now()
+        halo = block_halo(start, dev, lean)
         entries = []
         for gi in range(n_groups):
             g0 = gi * G
@@ -253,22 +365,25 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
             halo, ys = cm.match_chunks(
                 halo, jax.device_put(bufs, dev), jax.device_put(cand, dev),
                 jax.device_put(vhi, dev), jax.device_put(lim, dev),
-                cut_gram, cut_pos, n_chunks=G, head_cap=CAP, chunk=CH)
+                cut_gram, cut_pos, n_chunks=G, head_cap=CAP, chunk=CH,
+                lean=lean)
             stages["n_h2d_bytes"] = stages.get("n_h2d_bytes", 0) + (
                 bufs.nbytes + cand.nbytes + vhi.nbytes + lim.nbytes)
-            bits, packed, counts, cbits = ys
+            bits, packed, counts, cbits, kbits = ys
             # start the host copies now: the packed prefix covers the
             # common case, so by drain time only rare head-heavy chunks
-            # still pay a counts-dependent round trip.  conv bits are only
-            # consumed by the parity refine — fast mode never fetches them
-            # (the link prices every byte)
+            # still pay a counts-dependent round trip.  certificate bits
+            # are only consumed by the parity refine — fast mode never
+            # fetches them (the link prices every byte)
             pk_head = packed[:, :PREFETCH]
-            for a in (bits, counts, pk_head) + ((cbits,) if parity else ()):
+            for a in (bits, counts, pk_head) + (
+                    (cbits, kbits) if parity else ()):
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     pass
-            entries.append((g0, (bits, packed, counts, cbits, pk_head)))
+            entries.append((g0, (bits, packed, counts, cbits, kbits,
+                                 pk_head)))
         return entries
 
     def collect_block(start, end, entries):
@@ -276,7 +391,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         copy_to_host_async means only the counts-dependent packed slice
         still pays a round trip here).  Unpacking happens in the pool."""
         fetched = []
-        for g0, (bits, packed, counts, cbits, pk_head) in entries:
+        for g0, (bits, packed, counts, cbits, kbits, pk_head) in entries:
             counts_np = np.asarray(counts)
             maxp = max(1, int(counts_np.max()))
             if maxp <= PREFETCH:
@@ -285,10 +400,12 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 pk = np.asarray(packed[:, : min(maxp, CAP)])
             bits_np = np.asarray(bits)
             cbits_np = np.asarray(cbits) if parity else None
+            kbits_np = np.asarray(kbits) if parity else None
             stages["n_d2h_bytes"] = stages.get("n_d2h_bytes", 0) + (
                 bits_np.nbytes + pk.nbytes + counts_np.nbytes
-                + (cbits_np.nbytes if cbits_np is not None else 0))
-            fetched.append((g0, bits_np, pk, counts_np, cbits_np))
+                + (cbits_np.nbytes if cbits_np is not None else 0)
+                + (kbits_np.nbytes if kbits_np is not None else 0))
+            fetched.append((g0, bits_np, pk, counts_np, cbits_np, kbits_np))
         return fetched
 
     def unpack_block(start, end, fetched):
@@ -296,10 +413,13 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         lens = np.ones(bs, np.int32)
         dists = np.zeros(bs, np.int32)
         conv = np.ones(bs, bool)
+        lk = np.ones(bs, bool)
         redo = np.zeros(bs, bool)
-        for g0, bits_np, pk, counts_np, cbits_np in fetched:
+        for g0, bits_np, pk, counts_np, cbits_np, kbits_np in fetched:
             cv_rows = (cm.unpack_bits_rows(cbits_np, CH)
                        if cbits_np is not None else None)
+            lk_rows = (cm.unpack_bits_rows(kbits_np, CH)
+                       if kbits_np is not None else None)
             for j in range(G):
                 o = (g0 + j) * CH
                 if o >= bs:
@@ -308,6 +428,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 if counts_np[j] > CAP:  # head overflow: host redoes chunk
                     redo[o : o + w] = True
                     conv[o : o + w] = False
+                    lk[o : o + w] = False
                     continue
                 l, dd = native.unpack_claims(
                     bits_np[j], pk[j, : counts_np[j]], CH)
@@ -315,44 +436,89 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
                 dists[o : o + w] = dd[:w]
                 if cv_rows is not None:
                     conv[o : o + w] = cv_rows[j, :w]
-        return lens, dists, conv, redo
+                if lk_rows is not None:
+                    lk[o : o + w] = lk_rows[j, :w]
+        return lens, dists, conv, lk, redo
 
     def finish(start, end, fetched):
-        """Worker-pool tail: unpack + refine (parity / overflow) + DP +
-        emit.  ``fetched is None`` = CPU-assist block: the whole search
-        runs on the host matcher (exact, so parity-mode output is
-        independent of which engine a block landed on)."""
+        """Worker-pool tail: unpack + pre-DP length refine (parity /
+        overflow) + DP + post-DP distance fix + emit.  ``fetched is
+        None`` = CPU-assist block: the whole search runs on the host
+        matcher (exact, so parity-mode output is independent of which
+        engine a block landed on).
+
+        Parity-mode refine is SPLIT (the LK certificate,
+        ops/chunkmatch.py): the DP consumes only lengths, so the full
+        host re-search runs only at ~length-known positions; the exact
+        nearest-of-max distance is then fixed after the DP, only at the
+        positions the DP actually chose, by an early-stop walk
+        (native.match_refine_dist) — bit-exact either way."""
         bs = end - start
         vstart, vend = start + d, end + d
+        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
         if fetched is None:
             lens = np.ones(bs, np.int32)
             dists = np.zeros(bs, np.int32)
             conv = np.zeros(bs, bool)
+            lk = np.zeros(bs, bool)
             redo = np.ones(bs, bool)
         else:
-            lens, dists, conv, redo = unpack_block(start, end, fetched)
+            lens, dists, conv, lk, redo = unpack_block(start, end, fetched)
+        lo = vstart if legacy else max(vstart - HALO, 0)
+        base_r = vstart - lo
+        ctxb = np.frombuffer(vdata[lo:vend], np.uint8)
+        cut = (base_r - fmt.BLOCK_END_NO_MATCH) if block_cut else -1
+        if fetched is not None:
+            _deep_run_rule(ctxb, base_r, bs, lens, dists, conv, lk)
         tail = min(fmt.BLOCK_END_NO_MATCH - 1, bs)
         lens[bs - tail :] = 1
         dists[bs - tail :] = 0
         conv[bs - tail :] = True
+        lk[bs - tail :] = True
         redo[bs - tail :] = False
-        block_cut = (not legacy) and start >= fmt.MAX_DISTANCE + fmt.BLOCK_END_NO_MATCH
-        mask = ~conv if parity else redo
+        mask = ~lk if parity else redo
         if fetched is not None:  # certificate miss rate: device blocks only
             with count_lock:
                 stages["n_refine_positions"] = stages.get(
                     "n_refine_positions", 0) + int(mask.sum())
                 stages["n_positions"] = stages.get("n_positions", 0) + bs
+        wholesale = False
         if mask.any():
-            lo = vstart if legacy else max(vstart - HALO, 0)
-            base_r = vstart - lo
-            ctxb = np.frombuffer(vdata[lo:vend], np.uint8)
-            native.match_refine(
-                ctxb, base=base_r, bs=bs, lookback=base_r,
-                mask=mask, lens=lens, dists=dists,
-                cut_pos=(base_r - fmt.BLOCK_END_NO_MATCH) if block_cut else -1,
-            )
+            if parity and mask.mean() > 0.5:
+                # refine-volume routing (high-miss regime): a wholesale
+                # exact search beats per-position refine bookkeeping and
+                # leaves every position fully exact (no post-DP fix)
+                wholesale = True
+                native.match_block_ex(
+                    ctxb, base=base_r, bs=bs, level=9, lookback=base_r,
+                    cut_pos=cut, lens=lens, dists=dists)
+                conv[:] = True
+                if fetched is not None:
+                    with count_lock:
+                        stages["n_wholesale_blocks"] = stages.get(
+                            "n_wholesale_blocks", 0) + 1
+            else:
+                native.match_refine(
+                    ctxb, base=base_r, bs=bs, lookback=base_r,
+                    mask=mask, lens=lens, dists=dists, cut_pos=cut)
+                conv |= mask  # refined positions are fully exact
+        lens_claim = lens.copy() if parity else None
         native.estimate_costs(lens, dists)
+        if parity and not wholesale and fetched is not None:
+            # post-DP distance fix: the emitter reads distances only at
+            # chosen match starts; LK positions there carry a genuine
+            # max-length match whose distance may not be the nearest —
+            # walk nearest-first, stop at the first achiever of the
+            # certified length (== the reference's kept candidate)
+            need = native.chosen_mask(lens) & ~conv
+            if need.any():
+                native.match_refine_dist(
+                    ctxb, base=base_r, bs=bs, lookback=base_r,
+                    mask=need, targets=lens_claim,
+                    lens=lens_claim, dists=dists, cut_pos=cut)
+                with count_lock:
+                    stages["n_dist_fix_positions"] = stages.get(
+                        "n_dist_fix_positions", 0) + int(need.sum())
         payload = native.emit_block(data[start:end], lens, dists)
         if len(payload) < bs or legacy:
             return payload, False
@@ -575,7 +741,7 @@ def _device_resident_step_fn():
     def step(halo, bufs, cand, vhi, lim, cut_gram, cut_pos, blk,
              n_chunks, bs):
         CH = cm.CHUNK
-        halo2, (lens_u, dists_u, _conv) = cm.match_chunks_raw(
+        halo2, (lens_u, dists_u, _conv, _lk) = cm.match_chunks_raw(
             halo, bufs, cand, vhi, lim, cut_gram, cut_pos,
             n_chunks=n_chunks, chunk=CH)
         lens = lens_u.reshape(-1)[:bs].astype(jnp.int32)

@@ -227,7 +227,9 @@ def sort_records(*planes, n_keys: int = 1, unroll: bool | None = None,
     """
     n = planes[0].shape[0]
     assert n & (n - 1) == 0 and n >= 1024, n
-    assert len(planes) >= n_keys + 1
+    # unique=True needs no separate pos plane (the last KEY is distinct);
+    # otherwise the tiebreak plane follows the keys
+    assert len(planes) >= n_keys + (0 if unique else 1)
     rows = n // LANES
     if unroll is None:
         unroll = n <= (1 << 16)

@@ -162,7 +162,8 @@ def sharded_chunk_step(mesh: Mesh, n_local: int, chunk: int | None = None,
          halo0_lo    int32            (first valid halo position; chunk =
                      empty halo)
     Out: bits [B, chunk//32], packed [B, head_cap], n_heads [B],
-         conv_bits [B, chunk//32]  (B = nd*n_local, sharded)
+         conv_bits [B, chunk//32], lk_bits [B, chunk//32]
+         (B = nd*n_local, sharded)
     """
     from ..ops import chunkmatch as cm
 
@@ -198,7 +199,7 @@ def sharded_chunk_step(mesh: Mesh, n_local: int, chunk: int | None = None,
             in_specs=(P(axis, None), P(axis), P(axis), P(axis), P(axis),
                       P(axis), P(), P()),
             out_specs=(P(axis, None), P(axis, None), P(axis),
-                       P(axis, None)),
+                       P(axis, None), P(axis, None)),
         )
         try:
             wrapped = shard_map(local, check_vma=False, **kwargs)
@@ -303,10 +304,12 @@ def compress_sharded_chunks(
         ys = step(*(jnp.asarray(a) for a in args), jnp.asarray(halo0),
                   jnp.int32(halo0_lo))
         fetched = [np.asarray(y) for y in jax.block_until_ready(ys)]
-    bits, packed, counts, cbits = fetched
+    bits, packed, counts, cbits, _kbits = fetched
 
     # host tail: unpack claims, per-block refine (parity / overflow) + DP +
-    # emit — identical to the single-chip chunk engine's finish stage
+    # emit — the sharded path refines the FULL certificate (~conv) rather
+    # than the split-LK mask the single-chip engine uses: every position
+    # is exact before the DP, so no post-DP distance fix is needed here
     conv_rows = cm.unpack_bits_rows(cbits, CH)
 
     def finish(b: int) -> tuple[bytes, bool]:

@@ -30,11 +30,14 @@ alongside so the arithmetic is checkable.
 """
 from __future__ import annotations
 
-PLANE_TOUCH_PER_S = 2.4e11   # calibrated: the r4 suffix-order kernel moves
-                             # 115.6 MB/s x 1762 touches/B = 2.04e11, and the
-                             # sort-only probe 1.4e11 (255 M rec/s x 136 x 4) —
-                             # merge/probe touches are cheaper than sort
-                             # touches, so the blended ceiling sits above both
+PLANE_TOUCH_PER_S = 1.4e11   # STATIC FALLBACK only (sort-only probe,
+                             # exp/probe_tpu3.py r4: 255 M rec/s x 136
+                             # stages x 4 planes).  Production reports
+                             # pass a live measurement from
+                             # measure_plane_touch_rate() instead — the
+                             # r4 constant (2.4e11) was partly calibrated
+                             # from the graded kernel itself (circular,
+                             # VERDICT r4 weak #3) and is retired.
 GATHER_PER_S = 0.13e9        # measured per-lane random gather
 HOST_DP_BPS = 166e6          # native estimate_costs, per core (PERF.md)
 HOST_REFINE_BPS = 10e6       # native match_refine per core on -9-dense spans
@@ -72,29 +75,87 @@ def device_dp_ceiling_bps(iters: float = 10.0, n_log2: int = 20) -> float:
     return GATHER_PER_S / gathers_per_byte
 
 
+def measure_plane_touch_rate(chunk_log2: int = 16, reps: int = 6):
+    """Standalone VPU plane-touch microbenchmark: time the PRODUCTION
+    bitonic sort network (ops/sortnet.sort_records, the same 6-plane
+    4-key configuration sort_chunk uses) on random records and convert
+    to plane-element stage-touches per second.  Measured on its own
+    inputs, independent of the kernel being graded — the non-circular
+    provenance VERDICT r4 asked for.  Returns (touch_per_s, info)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import sortnet
+
+    n = 1 << chunk_log2
+    rng = np.random.default_rng(0)
+    keys = [jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint32))
+            for _ in range(3)]
+    combo = jnp.asarray(np.arange(n, dtype=np.uint32))  # unique tiebreak
+    pays = [jnp.asarray(rng.integers(-(1 << 31), 1 << 31, n,
+                                     dtype=np.int64).astype(np.int32))
+            for _ in range(2)]
+
+    @jax.jit
+    def f(a, b, c, d, e, g):
+        return sortnet.sort_records(a, b, c, d, e, g, n_keys=4, unique=True)
+
+    out = f(*keys, combo, *pays)
+    jax.block_until_ready(out)  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = f(*keys, combo, *pays)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    stages = chunk_log2 * (chunk_log2 + 1) // 2
+    touches = reps * stages * 6 * n
+    info = {"probe": "sortnet.sort_records 6-plane 4-key",
+            "n": n, "reps": reps, "wall_s": round(dt, 4),
+            "stages": stages,
+            "records_per_s": round(reps * n / dt)}
+    return touches / dt, info
+
+
 def report(*, bytes_in: int, stages: dict, counters: dict,
            device_match_mbps: float | None = None,
            unconv_pct: float | None = None,
-           link_bps: float = TUNNEL_BPS) -> dict:
+           link_bps: float = TUNNEL_BPS,
+           plane_touch_per_s: float | None = None,
+           probe_info: dict | None = None) -> dict:
     """Per-stage achieved-vs-ceiling fractions + projected PCIe e2e.
 
     ``stages``/``counters`` come from a RunReport of the chunk engine.
-    Returns a JSON-friendly dict; fractions are None when a stage was
-    not measured.
+    ``plane_touch_per_s`` should be a live measure_plane_touch_rate()
+    result (non-circular); without it the static sort-probe fallback is
+    used and labelled as such.  Returns a JSON-friendly dict; fractions
+    are None when a stage was not measured.
     """
+    pts = plane_touch_per_s or PLANE_TOUCH_PER_S
     out: dict = {"model": {
-        "plane_touch_per_s": PLANE_TOUCH_PER_S,
+        "plane_touch_per_s": pts,
+        "plane_touch_provenance": (
+            {"source": "live sort-only microbenchmark", **(probe_info or {})}
+            if plane_touch_per_s else
+            {"source": "static fallback (r4 sort-only probe; pass "
+                       "measure_plane_touch_rate() for live provenance)"}),
         "touches_per_byte": chunk_engine_touches_per_byte(),
         "link_bps_assumed": link_bps,
     }}
 
     # device match kernel
-    ceil_match = device_match_ceiling_bps()
+    ceil_match = pts / chunk_engine_touches_per_byte()
     out["device_match"] = {
         "ceiling_mbps": round(ceil_match / 1e6, 1),
         "achieved_mbps": device_match_mbps,
         "fraction": (round(device_match_mbps * 1e6 / ceil_match, 3)
                      if device_match_mbps else None),
+        # chip utilization against the absolute target, independent of
+        # the cost model above (BASELINE.md north star: 1 GB/s/chip)
+        "north_star_fraction": (round(device_match_mbps * 1e6 / 1e9, 4)
+                                if device_match_mbps else None),
     }
 
     # host link: measured transferred bytes per input byte

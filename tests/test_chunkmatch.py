@@ -44,7 +44,7 @@ def _brute(data, start, end):
 
 
 def _run_stream(data: bytes):
-    """Drive n_chunks of C positions; returns lens/dists/conv [len(data)]."""
+    """Drive n_chunks of C positions; returns lens/dists/conv/lk."""
     n = len(data)
     assert n % C == 0
     padded = np.zeros(n + chunkmatch.LOOK, np.uint8)
@@ -52,21 +52,23 @@ def _run_stream(data: bytes):
     lens = np.ones(n, np.int32)
     dists = np.zeros(n, np.int32)
     conv = np.ones(n, bool)
+    lk = np.ones(n, bool)
     halo = chunkmatch.empty_halo(chunk=C)
     for ci in range(n // C):
         s = ci * C
         buf = jnp.asarray(padded[s : s + C + chunkmatch.LOOK])
         hi = min(C, n - fmt.BLOCK_END_NO_MATCH + 1 - s)
         cur = chunkmatch.sort_chunk(buf, jnp.int32(0), jnp.int32(hi), chunk=C)
-        l, d, cv = chunkmatch.probe_pair(
+        l, d, cv, kk = chunkmatch.probe_pair(
             halo, cur, jnp.int32(0), jnp.int32(-1),
             jnp.int32(0), jnp.int32(hi),
             jnp.int32(n - fmt.BLOCK_END_LITERALS - s), chunk=C)
         lens[s : s + C] = np.asarray(l).astype(np.int32)
         dists[s : s + C] = np.asarray(d).astype(np.int32)
         conv[s : s + C] = np.asarray(cv)
+        lk[s : s + C] = np.asarray(kk)
         halo = cur
-    return lens, dists, conv
+    return lens, dists, conv, lk
 
 
 def _corpus(seed, n):
@@ -84,10 +86,10 @@ def _corpus(seed, n):
 def test_chunk_stream_verified_and_converged_exact(seed):
     data = _corpus(seed, 2 * C)
     arr = np.frombuffer(data, np.uint8).astype(np.int64)
-    lens, dists, conv = _run_stream(data)
+    lens, dists, conv, lk = _run_stream(data)
     bl, bd = _brute(arr, 0, len(data))
 
-    n_conv = 0
+    n_conv = n_lk = 0
     for p in range(len(data)):
         if lens[p] >= 4:
             d, l = int(dists[p]), int(lens[p])
@@ -95,12 +97,20 @@ def test_chunk_stream_verified_and_converged_exact(seed):
             assert (arr[p - d : p - d + l] == arr[p : p + l]).all(), (p, l, d)
             assert l <= bl[p], (p, l, bl[p])
         if conv[p]:
+            assert lk[p], p  # conv implies length-known
             n_conv += 1
             want_l = bl[p] if bl[p] >= 4 else 1
             assert lens[p] == want_l, (p, lens[p], want_l)
             if want_l >= 4:
                 assert dists[p] == bd[p], (p, dists[p], bd[p])
+        if lk[p]:
+            n_lk += 1
+            want_l = bl[p] if bl[p] >= 4 else 1
+            # LK certifies the LENGTH only (the distance may be a
+            # farther achiever of the same max — fixed post-DP)
+            assert lens[p] == want_l, (p, lens[p], want_l)
     assert n_conv > len(data) // 4  # certificate isn't vacuous
+    assert n_lk >= n_conv
 
 
 @pytest.mark.parametrize("seed", [21, 42])
@@ -121,7 +131,7 @@ def test_chunk_stream_induction_certificate_exact(seed):
             parts.append(bytes([int(rng.integers(97, 100))]) * 40)
     data = b"".join(parts)[: 2 * C]
     arr = np.frombuffer(data, np.uint8).astype(np.int64)
-    lens, dists, conv = _run_stream(data)
+    lens, dists, conv, lk = _run_stream(data)
     bl, bd = _brute(arr, 0, len(data))
     n_conv = 0
     for p in range(len(data)):
@@ -131,6 +141,9 @@ def test_chunk_stream_induction_certificate_exact(seed):
             assert lens[p] == want_l, (p, lens[p], want_l)
             if want_l >= 4:
                 assert dists[p] == bd[p], (p, dists[p], bd[p])
+        if lk[p]:
+            want_l = bl[p] if bl[p] >= 4 else 1
+            assert lens[p] == want_l, (p, lens[p], want_l)
     # the certificate must actually certify long-match interiors (the
     # per-position rules alone certify almost nothing on this corpus)
     assert n_conv > len(data) // 2, n_conv
@@ -154,10 +167,10 @@ def test_chunk_boundary_cut():
         padded[cut_pos : cut_pos + 4].tobytes()))
     limit = jnp.int32(2 * C - fmt.BLOCK_END_LITERALS - C)
 
-    l0, d0, _ = chunkmatch.probe_pair(
+    l0, d0, _, _ = chunkmatch.probe_pair(
         halo, cur, jnp.int32(0), jnp.int32(-1),
         jnp.int32(0), jnp.int32(C), limit, chunk=C)
-    l1, d1, _ = chunkmatch.probe_pair(
+    l1, d1, _, _ = chunkmatch.probe_pair(
         halo, cur, jnp.int32(cut_gram), jnp.int32(cut_pos),
         jnp.int32(0), jnp.int32(C), limit, chunk=C)
     l0, d0, l1, d1 = map(np.asarray, (l0, d0, l1, d1))
@@ -193,8 +206,10 @@ def test_pack_unpack_roundtrip():
         else:
             i += int(rng.integers(1, 8))
     conv = rng.random(n) < 0.8
-    bits, packed, count, cbits = chunkmatch.pack_results(
-        jnp.asarray(lens), jnp.asarray(dists), jnp.asarray(conv), chunk=n)
+    lk = conv | (rng.random(n) < 0.5)
+    bits, packed, count, cbits, kbits = chunkmatch.pack_results(
+        jnp.asarray(lens), jnp.asarray(dists), jnp.asarray(conv),
+        jnp.asarray(lk), chunk=n)
     n_heads = int(np.asarray(count))
     l2, d2 = chunkmatch.unpack_results(
         np.asarray(bits), np.asarray(packed), chunk=n)
@@ -202,8 +217,36 @@ def test_pack_unpack_roundtrip():
     np.testing.assert_array_equal(d2, dists)
     np.testing.assert_array_equal(
         chunkmatch._unpack_bits(np.asarray(cbits), n), conv)
+    np.testing.assert_array_equal(
+        chunkmatch._unpack_bits(np.asarray(kbits), n), lk)
     assert n_heads < n  # packing actually compresses
     assert n_heads == chunkmatch._unpack_bits(np.asarray(bits), n).sum()
+
+
+def test_pack_unpack_saturated_runs():
+    """Saturated (65535) claims pack flat — one head per run segment, not
+    one per position (the giant-byte-run head-overflow fix) — and both
+    the numpy and native unpackers invert them exactly."""
+    from smallz4_tpu import native
+
+    n = 1024
+    lens = np.full(n, 65535, np.int32)
+    dists = np.ones(n, np.int32)
+    lens[700:] = np.maximum(np.arange(65534, 65534 - (n - 700), -1), 1)
+    conv = np.ones(n, bool)
+    bits, packed, count, cbits, kbits = chunkmatch.pack_results(
+        jnp.asarray(lens), jnp.asarray(dists), jnp.asarray(conv),
+        jnp.asarray(conv), chunk=n)
+    n_heads = int(np.asarray(count))
+    assert n_heads <= 4, n_heads  # flat + one decay head
+    l2, d2 = chunkmatch.unpack_results(
+        np.asarray(bits), np.asarray(packed), chunk=n)
+    np.testing.assert_array_equal(l2, lens)
+    np.testing.assert_array_equal(d2, dists)
+    l3, d3 = native.unpack_claims(
+        np.asarray(bits), np.asarray(packed)[: n_heads], n)
+    np.testing.assert_array_equal(l3, lens)
+    np.testing.assert_array_equal(d3, dists)
 
 
 def _mixed_stream(n, seed=5):
@@ -342,7 +385,7 @@ def test_match_chunks_scan_equals_stepwise():
     n = len(data)
     padded = np.zeros(n + chunkmatch.LOOK, np.uint8)
     padded[:n] = np.frombuffer(data, np.uint8)
-    ref_lens, ref_dists, ref_conv = _run_stream(data)
+    ref_lens, ref_dists, ref_conv, ref_lk = _run_stream(data)
 
     n_chunks = n // C
     bufs = np.stack([padded[i * C : i * C + C + chunkmatch.LOOK]
@@ -355,19 +398,22 @@ def test_match_chunks_scan_equals_stepwise():
                       for i in range(n_chunks)], np.int32)
 
     halo = chunkmatch.empty_halo(chunk=C)
-    _, (bits, packed, counts, cbits) = chunkmatch.match_chunks(
+    _, (bits, packed, counts, cbits, kbits) = chunkmatch.match_chunks(
         halo, jnp.asarray(bufs), jnp.asarray(cand_hi),
         jnp.asarray(valid_hi), jnp.asarray(limit),
         jnp.int32(0), jnp.int32(-1),
         n_chunks=n_chunks, head_cap=C, chunk=C)
-    bits, packed, counts, cbits = map(np.asarray, (bits, packed, counts, cbits))
+    bits, packed, counts, cbits, kbits = map(
+        np.asarray, (bits, packed, counts, cbits, kbits))
 
     for ci in range(n_chunks):
         l, d = chunkmatch.unpack_results(bits[ci], packed[ci], chunk=C)
         cv = chunkmatch._unpack_bits(cbits[ci], C)
+        kk = chunkmatch._unpack_bits(kbits[ci], C)
         s = ci * C
         hi = int(valid_hi[ci])
         np.testing.assert_array_equal(l[:hi], ref_lens[s : s + hi])
         np.testing.assert_array_equal(d[:hi], ref_dists[s : s + hi])
         np.testing.assert_array_equal(cv[:hi], ref_conv[s : s + hi])
+        np.testing.assert_array_equal(kk[:hi], ref_lk[s : s + hi])
         assert counts[ci] <= C

@@ -237,3 +237,95 @@ def test_unpack_claims_matches_numpy_inverse():
         np.testing.assert_array_equal(d1, dists)
         np.testing.assert_array_equal(l2, lens)
         np.testing.assert_array_equal(d2, dists)
+
+
+class TestLengthDistanceSplit:
+    """Round-5 split-certificate machinery: the post-DP distance fix and
+    the host deep-run certificate (smallz4_tpu/ops/pipeline.py)."""
+
+    def _mixed(self, n, seed):
+        rng = np.random.default_rng(seed)
+        parts = []
+        while sum(map(len, parts)) < n:
+            r = rng.random()
+            if r < 0.3:
+                parts.append(bytes(rng.integers(0, 256, 300, dtype=np.uint8)))
+            elif r < 0.7:
+                parts.append(bytes(rng.integers(97, 103, 400, dtype=np.uint8)))
+            elif parts:
+                parts.append(parts[int(rng.integers(0, len(parts)))])
+        return b"".join(parts)[:n]
+
+    def test_chosen_mask_matches_emitter_walk(self):
+        data = self._mixed(200_000, 5)
+        n = len(data)
+        lens, dists = native.match_block(np.frombuffer(data, np.uint8),
+                                         base=0, bs=n, level=9)
+        lens[n - 11:] = 1
+        dists[n - 11:] = 0
+        native.estimate_costs(lens, dists)
+        mask = native.chosen_mask(lens)
+        o, want = 0, np.zeros(n, bool)
+        while o < n:
+            if lens[o] >= 4:
+                want[o] = True
+                o += lens[o]
+            else:
+                o += 1
+        np.testing.assert_array_equal(mask, want)
+
+    def test_match_refine_dist_returns_nearest_of_max(self):
+        """Feed exact lengths but deliberately WRONG (farther) genuine
+        distances at some positions; the early-stop walk must recover the
+        reference's nearest-of-max distance everywhere."""
+        data = self._mixed(150_000, 7)
+        n = len(data)
+        el, ed = native.match_block(np.frombuffer(data, np.uint8),
+                                    base=0, bs=n, level=9)
+        el[n - 11:] = 1
+        ed[n - 11:] = 0
+        rng = np.random.default_rng(1)
+        dists = ed.copy()
+        targets = el.copy()
+        # corrupt distances at a third of match positions (any nonzero
+        # value: the fix must not trust the incoming distance at all)
+        m = (el >= 4) & (rng.random(n) < 0.33)
+        dists[m] = 1 + (dists[m] + 17) % 60000
+        need = m.astype(np.uint8)
+        native.match_refine_dist(np.frombuffer(data, np.uint8), base=0,
+                                 bs=n, lookback=0, mask=need,
+                                 targets=targets, lens=targets, dists=dists)
+        np.testing.assert_array_equal(dists[m], ed[m])
+        np.testing.assert_array_equal(targets, el)  # lengths preserved
+
+    def test_deep_run_rule_matches_reference(self):
+        """Giant byte runs: the host rule's values equal the exact native
+        matcher at every position it certifies (including the excluded
+        shortcut-lapse position staying uncertified)."""
+        from smallz4_tpu.ops import pipeline as pl
+
+        rng = np.random.default_rng(2)
+        data = (bytes(rng.integers(0, 256, 5000, dtype=np.uint8))
+                + b"A" * 200_000
+                + bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
+                + b"B" * 140_000
+                + self._mixed(30_000, 9))
+        n = len(data)
+        el, ed = native.match_block(np.frombuffer(data, np.uint8),
+                                    base=0, bs=n, level=9)
+        el[el < 4] = 1
+        ed[el < 4] = 0
+        el[n - 11:] = 1
+        ed[n - 11:] = 0
+        lens = np.ones(n, np.int32)
+        dists = np.zeros(n, np.int32)
+        conv = np.zeros(n, bool)
+        lk = np.zeros(n, bool)
+        pl._deep_run_rule(np.frombuffer(data, np.uint8), 0, n,
+                          lens, dists, conv, lk)
+        assert conv.sum() > 100_000  # the rule actually fires
+        m = conv & (np.arange(n) < n - 11)
+        norm_el = np.where(el >= 4, el, 1)
+        norm_ed = np.where(el >= 4, ed, 0)
+        np.testing.assert_array_equal(lens[m], norm_el[m])
+        np.testing.assert_array_equal(dists[m], norm_ed[m])
