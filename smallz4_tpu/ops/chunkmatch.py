@@ -80,10 +80,19 @@ from .sortmatch import _ext_lcp, _flat_shift, _flat_shift_neg
 LANES = 128
 CHUNK = 1 << 16          # positions per chunk
 PAIR = CHUNK * 2         # merged record count
-LOOK = 20                # lookahead bytes per chunk buffer (key + payload)
 POS_BITS = 17
 POS_MASK = (1 << POS_BITS) - 1
 INVALID_BIT = jnp.int32(-0x80000000)  # bit31 of combo
+
+import os as _os
+
+#: byte-verification words per record.  5 (default) = the 20-byte keys
+#: alone; 7 adds two payload planes (bytes 20..27) — measured to cut the
+#: real-file pre-DP refine volume 37->30.4% (exp/cheap_rules_sim.py) for
+#: ~+33% sort plane moves.  Env-switchable for on-chip A/B.
+VERIFY_WORDS = int(_os.environ.get("SMALLZ4_TPU_VERIFY_WORDS", "5"))
+assert VERIFY_WORDS in (5, 7), VERIFY_WORDS
+LOOK = 4 * VERIFY_WORDS  # lookahead bytes per chunk buffer
 
 NEAR_PROBES = tuple(range(1, 9))
 EDGE = NEAR_PROBES[-1]   # contiguous-window edge (the certificate anchor)
@@ -94,7 +103,7 @@ KEY_REACH = 20           # bytes covered by the lexicographic sort key
                          # moves as the r4 12-byte sort, only the lex
                          # compare deepens; measured -3pp refine volume
                          # on real files, exp/cheap_rules_sim.py)
-EXT_REACH = 20           # byte-verified LCP reach (= the key words)
+EXT_REACH = 4 * VERIFY_WORDS  # byte-verified LCP reach (>= the key words)
 CHAIN_STEPS = 16         # doubling covers runs/matches to 64 Ki
 
 
@@ -115,15 +124,13 @@ def make_records(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK):
     lexicographic order: the sort becomes a true 12-byte suffix order."""
     c = buf.astype(jnp.uint32)
     g = (c[:-3] << 24) | (c[1:-2] << 16) | (c[2:-1] << 8) | c[3:]
-    k1 = g[:chunk]
-    e1 = g[4 : chunk + 4]
-    e2 = g[8 : chunk + 8]
-    x1 = g[12 : chunk + 12]
-    x2 = g[16 : chunk + 16]
+    words = [g[4 * i : chunk + 4 * i] for i in range(VERIFY_WORDS)]
     pos = jnp.arange(chunk, dtype=jnp.int32)
     valid = (pos >= valid_lo) & (pos < valid_hi)
     combo = jnp.where(valid, pos, pos | INVALID_BIT)
-    return k1, e1, e2, x1, x2, combo.view(jnp.uint32)
+    # plane order: 5 key words, combo (final key), then any extra
+    # verify-payload words (VERIFY_WORDS == 7)
+    return tuple(words[:5]) + (combo.view(jnp.uint32),) + tuple(words[5:])
 
 
 @functools.partial(jax.jit, static_argnames=("chunk", "lean"))
@@ -138,12 +145,11 @@ def sort_chunk(buf: jnp.ndarray, valid_lo, valid_hi, chunk: int = CHUNK,
     slower at runtime but with O(log n) generated code — the cold-start
     variant (its Mosaic compile is a fraction of the unrolled network's;
     the pipeline swaps to the fast variant once that compile lands)."""
-    k1, e1, e2, x1, x2, combo = make_records(buf, valid_lo, valid_hi,
-                                             chunk=chunk)
+    planes = make_records(buf, valid_lo, valid_hi, chunk=chunk)
     # combo embeds pos -> the 6-plane key is distinct per record:
-    # unique=True skips the dead pos-tiebreak compare in every stage
-    return sortnet.sort_records(k1, e1, e2, x1, x2, combo,
-                                n_keys=6, unique=True,
+    # unique=True skips the dead pos-tiebreak compare in every stage;
+    # extra verify-payload planes (VERIFY_WORDS == 7) ride along
+    return sortnet.sort_records(*planes, n_keys=6, unique=True,
                                 unroll=False if lean else None)
 
 
@@ -184,16 +190,20 @@ def _probe_kernel(chunk, refs):
          length-only edge certificate failed (split rule: a tie at
          exactly L only spoils the distance, so length is exact iff
          nothing unseen shares L+1), bit3 claim distance == nearest
-         >=12-byte-sharer gap (the -1 in-group neighbor: equal-key runs
+         >=KEY_REACH-byte-sharer gap (the -1 in-group neighbor: equal-key runs
          are pos-sorted, so it IS the nearest sharer)) — two planes so
          the compact router and the position unsort move half the data
     """
-    (scal_ref, k1_ref, e1_ref, e2_ref, x1_ref, x2_ref, combo_ref,
-     payload_ref, key_ref) = refs
+    scal_ref = refs[0]
+    plane_refs = refs[1 : 1 + VERIFY_WORDS + 1]
+    payload_ref, key_ref = refs[1 + VERIFY_WORDS + 1 :]
     cut_gram, cut_pos = scal_ref[0, 0], scal_ref[0, 1]
     match_limit = scal_ref[0, 2]
-    k1, e1, e2 = k1_ref[:], e1_ref[:], e2_ref[:]
-    x1, x2, combo = x1_ref[:], x2_ref[:], combo_ref[:]
+    # plane order: 5 key words, combo, extra verify words (if any)
+    planes = [r[:] for r in plane_refs]
+    k1 = planes[0]
+    combo = planes[5]
+    vw = planes[:5] + planes[6:]  # the VERIFY_WORDS byte words, in order
     rows = k1.shape[0]
     n = rows * LANES
     slot = sortnet._flat_iota(rows)
@@ -215,14 +225,10 @@ def _probe_kernel(chunk, refs):
         for sgn in (1, -1):
             k = sk * sgn
             in_range = (slot + k >= 0) & (slot + k < n)
-            nb_k1 = _flat_shift(k1, k)
-            nb_e1 = _flat_shift(e1, k)
-            nb_e2 = _flat_shift(e2, k)
+            nb_vw = [_flat_shift(w, k) for w in vw]
+            nb_k1 = nb_vw[0]
             nb_combo = _flat_shift(combo, k)
-            nb_x1 = _flat_shift(x1, k)
-            nb_x2 = _flat_shift(x2, k)
-            lcp = _lcp_be([k1 ^ nb_k1, e1 ^ nb_e1, e2 ^ nb_e2,
-                           x1 ^ nb_x1, x2 ^ nb_x2])
+            lcp = _lcp_be([w ^ nb for w, nb in zip(vw, nb_vw)])
             if sk == EDGE:
                 # certificate anchor: capped LCP with the contiguous
                 # window's outermost record, regardless of its validity
@@ -236,9 +242,9 @@ def _probe_kernel(chunk, refs):
             nb_raw = nb_combo & POS_MASK
             d = raw - nb_raw
             if sk == 1 and sgn == -1:
-                # nearest >=12-byte sharer: the -1 neighbor when it
-                # shares the full sort key (groups are pos-sorted, valid
-                # records ahead of invalid ones)
+                # nearest >=KEY_REACH-byte sharer: the -1 neighbor when
+                # it shares the full sort key (groups are pos-sorted,
+                # valid records ahead of invalid ones)
                 gap = jnp.where(in_range & (nb_combo >= 0) & (d >= 1)
                                 & (lcp >= KEY_REACH), d, 0)
             ok = (in_range & (nb_combo >= 0) & (d >= 1)
@@ -252,7 +258,7 @@ def _probe_kernel(chunk, refs):
 
     # edge-LCP certificate: an unseen record beyond the +-EDGE window
     # shares at most clcp(p, edge) bytes (capped-LCP monotonicity of the
-    # suffix order); < clip(L, 4, 12) on both sides rules out any beater
+    # suffix order); < clip(L, 4, KEY_REACH) on both sides rules out any beater
     # or equal-length-nearer candidate.  Claims are exact when also
     # byte-verified (L < EXT_REACH) or clamped at the block cap.
     th = jnp.clip(best_len, fmt.MIN_MATCH, KEY_REACH)
@@ -584,10 +590,9 @@ def probe_pair(
     # rebase chunk i positions to [chunk, 2*chunk) and merge; combo is
     # the final key, so halo records keep sorting ahead of current-chunk
     # records inside equal-20-byte groups (pos order preserved)
-    cur_combo = (cur[5].view(jnp.int32) + chunk).view(jnp.uint32)
-    planes = [jnp.concatenate([h, c]) for h, c in
-              zip(halo, (cur[0], cur[1], cur[2], cur[3], cur[4],
-                         cur_combo))]
+    cur_list = list(cur)
+    cur_list[5] = (cur[5].view(jnp.int32) + chunk).view(jnp.uint32)
+    planes = [jnp.concatenate([h, c]) for h, c in zip(halo, cur_list)]
     merged = sortnet.merge_sorted(*planes, n_keys=6, unique=True)
 
     scal = jnp.stack([
