@@ -75,13 +75,19 @@ def device_dp_ceiling_bps(iters: float = 10.0, n_log2: int = 20) -> float:
     return GATHER_PER_S / gathers_per_byte
 
 
-def measure_plane_touch_rate(chunk_log2: int = 16, reps: int = 6):
+def measure_plane_touch_rate(chunk_log2: int = 16, chain: int = 24,
+                             reps: int = 3):
     """Standalone VPU plane-touch microbenchmark: time the PRODUCTION
-    bitonic sort network (ops/sortnet.sort_records, the same 6-plane
-    4-key configuration sort_chunk uses) on random records and convert
-    to plane-element stage-touches per second.  Measured on its own
+    bitonic sort network (ops/sortnet.sort_records, the 6-plane 6-key
+    configuration sort_chunk uses) on random records and convert to
+    plane-element stage-touches per second.  ``chain`` dependent sorts
+    run inside ONE dispatch (each consumes the previous output — the
+    network's cost is data-independent), so per-dispatch round-trip
+    latency (the dev tunnel prices ~100 ms per dispatch, which starved
+    the naive per-rep timing) amortizes away.  Measured on its own
     inputs, independent of the kernel being graded — the non-circular
     provenance VERDICT r4 asked for.  Returns (touch_per_s, info)."""
+    import functools
     import time
 
     import jax
@@ -93,29 +99,29 @@ def measure_plane_touch_rate(chunk_log2: int = 16, reps: int = 6):
     n = 1 << chunk_log2
     rng = np.random.default_rng(0)
     keys = [jnp.asarray(rng.integers(0, 1 << 32, n, dtype=np.uint32))
-            for _ in range(3)]
+            for _ in range(5)]
     combo = jnp.asarray(np.arange(n, dtype=np.uint32))  # unique tiebreak
-    pays = [jnp.asarray(rng.integers(-(1 << 31), 1 << 31, n,
-                                     dtype=np.int64).astype(np.int32))
-            for _ in range(2)]
 
     @jax.jit
-    def f(a, b, c, d, e, g):
-        return sortnet.sort_records(a, b, c, d, e, g, n_keys=4, unique=True)
+    def f(*planes):
+        def body(_, st):
+            return sortnet.sort_records(*st, n_keys=6, unique=True)
 
-    out = f(*keys, combo, *pays)
+        return jax.lax.fori_loop(0, chain, body, planes)
+
+    out = f(*keys, combo)
     jax.block_until_ready(out)  # compile + warm
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = f(*keys, combo, *pays)
+        out = f(*keys, combo)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     stages = chunk_log2 * (chunk_log2 + 1) // 2
-    touches = reps * stages * 6 * n
-    info = {"probe": "sortnet.sort_records 6-plane 4-key",
-            "n": n, "reps": reps, "wall_s": round(dt, 4),
+    touches = reps * chain * stages * 6 * n
+    info = {"probe": "sortnet.sort_records 6-plane 6-key, chained",
+            "n": n, "chain": chain, "reps": reps, "wall_s": round(dt, 4),
             "stages": stages,
-            "records_per_s": round(reps * n / dt)}
+            "records_per_s": round(reps * chain * n / dt)}
     return touches / dt, info
 
 
