@@ -165,6 +165,11 @@ _TPU_CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)) if "__file__" in dir() else ".")
 sys.path.insert(0, sys.argv[3])
+# measured paths use the fast kernels only: the cold-start race's
+# background compile thread would contend with the remote compiler
+# during measurements (observed ~200 s dispatch stalls); the race itself
+# is measured by the dedicated cold-start probe in a fresh process
+os.environ.setdefault("SMALLZ4_TPU_COLD_START", "fast")
 corpus = open(sys.argv[1], "rb").read()
 outdir = sys.argv[2]
 import jax

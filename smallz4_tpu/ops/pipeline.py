@@ -302,9 +302,13 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     if cold_mode == "lean":
         lean_active = True
     elif cold_mode == "auto" and on_tpu and not _FAST_READY.is_set():
+        first = not _WARM_STARTED
         _warm_fast_async(devices[0])
-        wait_s = float(_os.environ.get("SMALLZ4_TPU_FAST_WAIT_S", "75"))
-        _FAST_READY.wait(wait_s)
+        if first:
+            # wait for a possible fast cache-load ONCE per process; later
+            # calls just run lean until the background compile lands
+            wait_s = float(_os.environ.get("SMALLZ4_TPU_FAST_WAIT_S", "75"))
+            _FAST_READY.wait(wait_s)
         lean_active = not _FAST_READY.is_set()
 
     def _lean_now() -> bool:
