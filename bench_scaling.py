@@ -119,13 +119,13 @@ def main() -> int:
     for nd in chunk_sizes:
         B = nd * n_local
         rng_c = np.random.default_rng(1)
-        bufs = rng_c.integers(0, 256, (B, CH + 16), dtype=np.uint8)
+        bufs = rng_c.integers(0, 256, (B, CH + cm.LOOK), dtype=np.uint8)
         bufs[:, : CH // 2] = 65
         cand = np.full(B, CH, np.int32)
         lim = np.asarray([(B - j) * CH - 5 for j in range(B)], np.int32)
         cuts_g = np.zeros(B, np.int32)
         cuts_p = np.full(B, -1, np.int32)
-        halo0 = np.zeros(CH + 16, np.uint8)
+        halo0 = np.zeros(CH + cm.LOOK, np.uint8)
         mesh = sharding.make_mesh(nd)
         import contextlib
 

@@ -152,12 +152,12 @@ def sharded_chunk_step(mesh: Mesh, n_local: int, chunk: int | None = None,
     runs its local fused scan.  There is no sequential dependency across
     devices: the halo is a pure function of the neighbor's bytes.
 
-    In:  bufs        uint8[nd*n_local, chunk+16]  (sharded rows)
+    In:  bufs        uint8[nd*n_local, chunk+LOOK]  (sharded rows)
          cand_hi, valid_hi, match_limit, cut_gram, cut_pos
                      int32[nd*n_local]            (sharded; per-chunk cuts
                      encode block starts — chunkmatch.match_chunks array
                      cut contract)
-         halo0_buf   uint8[chunk+16]  (replicated: stream-start history,
+         halo0_buf   uint8[chunk+LOOK]  (replicated: stream-start history,
                      right-aligned dictionary tail or zeros)
          halo0_lo    int32            (first valid halo position; chunk =
                      empty halo)
