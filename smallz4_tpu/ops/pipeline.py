@@ -283,7 +283,13 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     from ..parallel import host as host_par
 
     CH, G, CAP = cm.CHUNK, cm.GROUP, cm.HEAD_CAP
-    PREFETCH = min(CAP, max(256, CH // 16))  # speculative packed prefix
+    # speculative packed prefix: must cover the realized head count or the
+    # collect pays BOTH the wasted async prefix AND a counts-synchronized
+    # round trip per group (the tunnel/PCIe link prices round trips).
+    # Text-heavy corpora measure ~7 K heads per 64 Ki chunk with the
+    # saturation-aware predictor, so cover 8 K (r5; was CH//16 = 4 K,
+    # which lost the race on exactly the common corpora)
+    PREFETCH = min(CAP, max(256, CH // 8))
     n = len(data)
     arr = np.frombuffer(data, np.uint8)
     devices = jax.local_devices()
