@@ -347,6 +347,7 @@ if projected <= budget:
         t0 = time.time()
         pipeline.compress(adv, 9, parity=True, report=rep_a, **kw)
         adv_dt = time.time() - t0
+        del os.environ["SMALLZ4_TPU_CPU_ASSIST"]  # census-only override
         npos_a = rep_a.counters.get("n_positions", 0)
         if npos_a:
             report["unconv_adversarial_pct"] = round(
