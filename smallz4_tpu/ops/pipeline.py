@@ -537,7 +537,7 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
     # in-flight blocks: bounds device + host result memory while keeping
     # every local device busy
     WINDOW = max(8, 2 * len(devices))
-    pool = host_par._pool(None)
+    n_cores = min(32, _os.cpu_count() or 1)
     pending = []  # (bi, start, end, entries)
     jobs = {}     # bi -> future -> (payload, stored)
 
@@ -587,8 +587,15 @@ def _compress_chunked(out, data, vdata, d, blocks, legacy, parity, native,
         def result(self):
             return self._value
 
-    assist_futures = [pool.submit(assist_loop)
-                      for _ in range(min(n_assist, max(0, len(blocks) - 1)))]
+    # one thread per core for the finish/refine tail PLUS one per assist:
+    # an assist loop occupies its worker for a whole block, and a pool
+    # sized to the cores alone starves device-block finishes behind the
+    # assists (measured: best-of-3 drops ~25% on the 2-vCPU host).  The
+    # native stages release the GIL, so oversubscription schedules fine.
+    n_assist = min(n_assist, max(0, len(blocks) - 1))
+    pool = host_par._pool(n_cores + n_assist)
+
+    assist_futures = [pool.submit(assist_loop) for _ in range(n_assist)]
 
     def drain(limit):
         nonlocal pending
