@@ -255,6 +255,12 @@ if projected <= budget:
     # times, best kept (all recorded): tunnel stalls have
     # been observed to eat a single measured run (r4: a 183 s
     # device_dispatch outlier against a 0.6 s probe of the same path)
+    # one untimed full-corpus pass first: absorbs the reproducible
+    # once-per-session dispatch stall AND warms every worker thread's
+    # native match tables (~90 MB each, first-touch cost lands on the
+    # first block a thread processes — measured to depress early runs
+    # 20-40% otherwise)
+    pipeline.compress(corpus, 9, **kw)
     mbps, rep_p, frame = 0.0, None, b""
     report["parity_mbps_runs"] = []  # all runs recorded: the best-of-3
     for _ in range(3):               # selection is visible in the JSON
