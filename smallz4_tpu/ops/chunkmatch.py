@@ -20,10 +20,14 @@ compile budget).  This module restructures the search around *chunks*:
      second full sort.
   3. **probe** sorted neighbors at static offsets (contiguous 1..8 plus a
      sparse far set): in suffix order the highest-LCP candidates are the
-     nearest neighbors; each probe is byte-verified to LCP 20 via the
-     three key words plus two payload words, zero gathers.  Claim
-     lengths are clamped to the block match cap *before* the nearest-
-     distance tie-break (reference cap-then-tie semantics,
+     nearest neighbors; each probe is byte-verified to LCP 20, zero
+     gathers.  Probe LCPs are *composed* (PROBE_LCP): one adjacent-pair
+     LCP plane + a log-step sparse min-table yields every probe's capped
+     LCP via the suffix-array min property — bit-identical to the direct
+     per-probe 5-word compare at ~2.8x fewer shifted planes (the cut
+     exclusion rides a spare combo bit so probes shift one plane).
+     Claim lengths are clamped to the block match cap *before* the
+     nearest-distance tie-break (reference cap-then-tie semantics,
      smallz4.h:178,229-232).
   4. **compact** the current chunk's records out of the merged array with
      an LSB-first binary-shift routing (monotone packing is conflict-free
@@ -94,9 +98,25 @@ VERIFY_WORDS = int(_os.environ.get("SMALLZ4_TPU_VERIFY_WORDS", "5"))
 assert VERIFY_WORDS in (5, 7), VERIFY_WORDS
 LOOK = 4 * VERIFY_WORDS  # lookahead bytes per chunk buffer
 
+#: probe-LCP strategy: "composed" (default) derives every probe's capped
+#: LCP from ONE adjacent-pair LCP plane via the suffix-array min property
+#: (clcp(i, k) = min of adjacent clcps on a prefix-sorted order) — a
+#: sparse min-table replaces the per-probe 6-plane shifted lex compare,
+#: cutting the probe stage's plane touches ~2.3x with bit-identical
+#: values.  "direct" restores the per-probe full compare (A/B hatch).
+PROBE_LCP = _os.environ.get("SMALLZ4_TPU_PROBE_LCP", "composed")
+assert PROBE_LCP in ("composed", "direct"), PROBE_LCP
+
 NEAR_PROBES = tuple(range(1, 9))
 EDGE = NEAR_PROBES[-1]   # contiguous-window edge (the certificate anchor)
-FAR_PROBES = (12, 16, 24, 32, 48, 64)
+#: sparse far-probe offsets in suffix order.  Composed LCPs price a far
+#: probe at ~3 shifted planes (vs 7 direct), so the default set reaches
+#: depth 160: measured to cut the strict-window miss rate 60.7->30.7%
+#: on real files (exp/reach_sim.py depth sweep), where misses are
+#: suffix-order reach-limited.  Env-overridable for A/B.
+_far_env = _os.environ.get("SMALLZ4_TPU_FAR_PROBES")
+FAR_PROBES = (tuple(int(x) for x in _far_env.split(",")) if _far_env
+              else (12, 16, 24, 32, 48, 64, 96, 128, 160))
 PROBES = NEAR_PROBES + FAR_PROBES
 KEY_REACH = 20           # bytes covered by the lexicographic sort key
                          # (round 5: all five words are keys — same plane
@@ -221,14 +241,60 @@ def _probe_kernel(chunk, refs):
     elcp_hi = jnp.full_like(k1, -1)   # capped LCP with the +EDGE record
     gap = jnp.zeros_like(k1)          # distance to the -1 >=12-sharer
 
+    composed = PROBE_LCP == "composed"
+    if composed:
+        # Composed probe LCPs (suffix-array min property): the merged
+        # planes are sorted by the 20-byte key, so for slots a < c the
+        # KEY_REACH-capped LCP obeys clcp(a, c) = min over adjacent
+        # clcp(i, i+1) — one adjacent-LCP plane plus a log-step sparse
+        # min-table replaces the per-probe 5-word shifted compare.  The
+        # composed values are EXACTLY the direct ones (min caps compose:
+        # min(min(x,20), min(y,20)) == min(min(x,y), 20)); beyond-key
+        # verify words (VERIFY_WORDS == 7) extend per probe below, where
+        # the key-capped LCP proves 20 shared bytes first.
+        nb1 = [_flat_shift(w, 1) for w in vw[:5]]
+        lcp_adj = _lcp_be([w ^ nb for w, nb in zip(vw[:5], nb1)])
+        mtab = {1: lcp_adj}           # mtab[e][s] = min lcp_adj[s, s+e)
+        e = 1
+        while 2 * e <= max(PROBES):
+            mtab[2 * e] = jnp.minimum(mtab[e], _flat_shift(mtab[e], e))
+            e *= 2
+
+        def window_min(width):
+            """min lcp_adj over [s, s+width) — binary decomposition."""
+            r, off = None, 0
+            for e in sorted(mtab, reverse=True):
+                if width & e:
+                    part = mtab[e] if off == 0 else _flat_shift(mtab[e], off)
+                    r = part if r is None else jnp.minimum(r, part)
+                    off += e
+            return r
+
+        # boundary-cut exclusion rides the combo plane (bit 29 is free:
+        # combo = invalid(31) | pos[16:0]) so probes shift ONE plane
+        # instead of re-deriving the cut test from a shifted k1
+        cut_hit_self = (k1 == cut_gram) & (raw < cut_pos)
+        combo_probe = combo | jnp.where(cut_hit_self, jnp.int32(1) << 29,
+                                        jnp.int32(0))
+
     for sk in PROBES:
+        if composed:
+            wmin = window_min(sk)
         for sgn in (1, -1):
             k = sk * sgn
             in_range = (slot + k >= 0) & (slot + k < n)
-            nb_vw = [_flat_shift(w, k) for w in vw]
-            nb_k1 = nb_vw[0]
-            nb_combo = _flat_shift(combo, k)
-            lcp = _lcp_be([w ^ nb for w, nb in zip(vw, nb_vw)])
+            if composed:
+                lcp = wmin if sgn > 0 else _flat_shift(wmin, -sk)
+                if VERIFY_WORDS > 5:
+                    ext = _lcp_be([w ^ _flat_shift(w, k) for w in vw[5:]])
+                    lcp = jnp.where(lcp >= KEY_REACH, KEY_REACH + ext, lcp)
+                nb_combo = _flat_shift(combo_probe, k)
+                cut_hit = ((nb_combo >> 29) & 1) != 0
+            else:
+                nb_vw = [_flat_shift(w, k) for w in vw]
+                nb_k1 = nb_vw[0]
+                nb_combo = _flat_shift(combo, k)
+                lcp = _lcp_be([w ^ nb for w, nb in zip(vw, nb_vw)])
             if sk == EDGE:
                 # certificate anchor: capped LCP with the contiguous
                 # window's outermost record, regardless of its validity
@@ -249,7 +315,8 @@ def _probe_kernel(chunk, refs):
                                 & (lcp >= KEY_REACH), d, 0)
             ok = (in_range & (nb_combo >= 0) & (d >= 1)
                   & (d <= fmt.MAX_DISTANCE)
-                  & ~((nb_k1 == cut_gram) & (nb_raw < cut_pos)))
+                  & ~(cut_hit if composed
+                      else (nb_k1 == cut_gram) & (nb_raw < cut_pos)))
             lcp_eff = jnp.minimum(jnp.where(ok, lcp, 0), cap)
             better = (lcp_eff > best_len) | (
                 (lcp_eff == best_len) & (lcp_eff >= 1) & (d < best_dist))

@@ -55,7 +55,24 @@ def chunk_engine_touches_per_byte(planes: int = 6, chunk_log2: int = 16,
     merge_stages = chunk_log2 + 1
     t_sort = sort_stages * planes                       # sort own chunk
     t_merge = merge_stages * planes * 2                 # merged 2x records
-    t_probe = probes * planes * 2                       # shifted reads, 2x
+    # probe cost depends on the LCP strategy (ops/chunkmatch.PROBE_LCP):
+    # composed = one adjacent-LCP plane + sparse min-table + per-probe
+    # window mins (bit-identical values, ~2.8x fewer shifted planes)
+    try:
+        from ..ops import chunkmatch as _cm
+        composed = _cm.PROBE_LCP == "composed"
+        probe_set = _cm.PROBES
+    except Exception:                                   # standalone use
+        composed, probe_set = True, (1, 2, 3, 4, 5, 6, 7, 8,
+                                     12, 16, 24, 32, 48, 64)
+    if composed:
+        window_shifts = sum(bin(sk).count("1") - 1 for sk in probe_set)
+        doublings = max(probe_set).bit_length() - 1
+        # 5 adjacent shifts + log-step table + window composition +
+        # (neg-window + 2 combo) shifts per probe distance, on 2x records
+        t_probe = (5 + doublings + window_shifts + 3 * len(probe_set)) * 2
+    else:
+        t_probe = probes * planes * 2                   # shifted reads, 2x
     t_compact = (chunk_log2 + 1) * 2 * 2                # 2 planes, 2x
     t_unsort = sort_stages * 2                          # 2-plane pos sort
     t_chain = 16 * 2                                    # doubling steps

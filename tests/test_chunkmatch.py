@@ -187,6 +187,46 @@ def test_chunk_boundary_cut():
     assert (d0 != d1).any() or (l0 != l1).any()
 
 
+def test_probe_lcp_composed_equals_direct(monkeypatch):
+    """The composed probe LCP (adjacent plane + sparse min-table) must be
+    bit-identical to the direct per-probe compare on every output plane —
+    lens, dists, conv, lk — including under a live boundary cut (the cut
+    exclusion rides a combo bit in composed mode)."""
+    rng = np.random.default_rng(3)
+    base = bytes(rng.integers(97, 105, C, dtype=np.uint8))
+    data = base + base + _corpus(3, 2 * C)
+    padded = np.zeros(len(data) + chunkmatch.LOOK, np.uint8)
+    padded[: len(data)] = np.frombuffer(data, np.uint8)
+    cut_pos = 100
+    cut_gram = np.int32(chunkmatch.pack_cut_gram(
+        padded[cut_pos : cut_pos + 4].tobytes()))
+
+    outs = {}
+    for mode in ("composed", "direct"):
+        monkeypatch.setattr(chunkmatch, "PROBE_LCP", mode)
+        jax.clear_caches()  # probe_pair bakes the module flag at trace time
+        got = []
+        halo = chunkmatch.empty_halo(chunk=C)
+        for ci in range(len(data) // C):
+            s = ci * C
+            buf = jnp.asarray(padded[s : s + C + chunkmatch.LOOK])
+            hi = min(C, len(data) - fmt.BLOCK_END_NO_MATCH + 1 - s)
+            cg, cp = (cut_gram, cut_pos) if ci == 1 else (0, -1)
+            planes = chunkmatch.probe_pair(
+                halo, chunkmatch.sort_chunk(buf, jnp.int32(0), jnp.int32(hi),
+                                            chunk=C),
+                jnp.int32(cg), jnp.int32(cp), jnp.int32(0), jnp.int32(hi),
+                jnp.int32(len(data) - fmt.BLOCK_END_LITERALS - s), chunk=C)
+            got.append(tuple(np.asarray(p) for p in planes))
+            halo = chunkmatch.sort_chunk(buf, jnp.int32(0), jnp.int32(hi),
+                                         chunk=C)
+        outs[mode] = got
+    jax.clear_caches()
+    for ca, da in zip(outs["composed"], outs["direct"]):
+        for pa, pb in zip(ca, da):
+            assert (pa == pb).all()
+
+
 def test_pack_unpack_roundtrip():
     """Device head/delta packing inverts exactly on realistic claims."""
     rng = np.random.default_rng(11)
